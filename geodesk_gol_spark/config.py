@@ -1,0 +1,61 @@
+"""Build settings — mirrors the reference's BuildSettings semantics.
+
+Reference: /root/reference/src/build/util/BuildSettings.h:160-168
+(maxTiles 65535, minTileDensity 75000, rtreeBranchSize 16, zoom subset
+user-chosen; tests there use ``-l 0,3,6,9,12``, test/test_save.py:20).
+
+The reference defaults are planet-scale; fixture-scale runs pass a much
+lower ``min_tile_density`` so the pyramid actually splits/merges on
+60k-row inputs (same dynamics, smaller threshold).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Zoom subset used throughout (parent step = 3 → 64 children), matching the
+# reference's own test configuration (test/test_save.py:20).
+ZOOM_LEVELS: tuple[int, ...] = (12, 9, 6, 3, 0)
+
+# World coordinate space: x/y are 31-bit non-negative ints ([0, 2^31)),
+# analogous to the reference's int32 scaled Web-Mercator space
+# (src/build/analyze/FastTileCalculator.h:31-51) shifted to be non-negative
+# so integer division == floor division in every SQL dialect.
+WORLD_BITS = 31
+WORLD = 1 << WORLD_BITS
+LEAF_ZOOM = 12          # leaf statistics grid is 4096×4096 cells
+LEAF_GRID = 1 << LEAF_ZOOM
+CELL_SHIFT = WORLD_BITS - LEAF_ZOOM  # 19: x >> 19 == zoom-12 column
+
+
+@dataclass(frozen=True)
+class BuildSettings:
+    """Knobs controlling pyramid construction and tile assignment."""
+
+    min_tile_density: int = 75_000   # reference default (BuildSettings.h:165)
+    max_tiles: int = 65_535          # reference default (BuildSettings.h:162)
+    zoom_levels: tuple[int, ...] = ZOOM_LEVELS
+    rtree_branch_size: int = 16      # Hilbert leaf run (BuildSettings.h:166)
+    shuffle_partitions: int = 32
+
+    @staticmethod
+    def for_fixture(density: int = 500, max_tiles: int = 65_535) -> "BuildSettings":
+        return BuildSettings(min_tile_density=density, max_tiles=max_tiles)
+
+
+def tile_id(zoom: int, col: int, row: int) -> int:
+    """Pack (zoom, col, row) into one int: zoom<<24 | row<<12 | col."""
+    return (zoom << 24) | (row << 12) | col
+
+
+def tile_zoom(tid: int) -> int:
+    return tid >> 24
+
+
+def tile_col(tid: int) -> int:
+    return tid & 0xFFF
+
+
+def tile_row(tid: int) -> int:
+    return (tid >> 12) & 0xFFF

@@ -1,0 +1,340 @@
+"""Shared SQL fragments — ONE text, TWO engines.
+
+Every derivation that must agree bit-for-bit between the Spark engine and
+the DuckDB oracle is defined here exactly once as an ANSI-SQL string in the
+dialect intersection of Spark SQL and DuckDB:
+
+- integer arithmetic (`+ - * %`) on BIGINT — exact in both engines;
+- `/` only where both operands are exactly representable doubles and the
+  result feeds `floor()` (IEEE-754 division is correctly rounded, so the
+  result is bit-identical across engines);
+- a *rational pseudo-Mercator* for the y axis: the reference projects with
+  true Web-Mercator (`ln(tan(...))`, src/build/sort/Sorter.cpp:199-201 via
+  Mercator::yFromLat100nd), but libm `ln`/`tan` may differ by 1 ulp between
+  the JVM and DuckDB's C++ runtime, which could flip a `floor()` at tile
+  boundaries.  We instead define the engine's canonical projection as an
+  odd polynomial in lat (strictly monotone, Mercator-like stretch) built
+  only from IEEE `+ * /`, which are correctly rounded and therefore
+  reproduce identically everywhere.  This is OUR spec's projection; the
+  oracle uses the same text, so parity is by construction.
+
+The synthetic feature corpus is derived deterministically from the
+driver-provided TPC-H-ish parquet tables (TESTDATA.md):
+
+- ``lineitem`` rows  → **nodes**   (id = l_orderkey*8 + l_linenumber)
+- ``orders`` rows    → **ways**    (node list = its lineitems, in line order)
+- ``customer`` rows  → **relations** (members = the customer's order-ways)
+- ``nation`` rows    → **super-relations** (members = customer relations)
+- ``region`` rows    → **super-super-relations** (members = nation relations)
+
+which reproduces the reference's node/way/relation containment shape
+(src/osm/OsmPbfReader.h:232-262 callbacks) with a natural 3-deep
+super-relation hierarchy (src/build/sort/SuperRelationResolver.cpp).
+
+Spatial distribution (drives pyramid split/merge per
+src/build/analyze/TileIndexBuilder.cpp:183-239 semantics):
+70% of nodes in a dense "monaco" cluster (~0.7°×0.5°), 20% in a mid-density
+"town" band (5°×4°), 10% sparse worldwide.
+"""
+
+from __future__ import annotations
+
+from .config import LEAF_ZOOM, ZOOM_LEVELS
+
+# ---------------------------------------------------------------------------
+# deterministic hash streams (Knuth/xxhash-style odd multipliers, mod 2^32)
+# ---------------------------------------------------------------------------
+
+M32 = 4294967296
+
+
+def h_expr(id_expr: str, mult: int) -> str:
+    """Non-negative 32-bit hash stream of a non-negative BIGINT expression."""
+    return f"(({id_expr}) * {mult}) % {M32}"
+
+
+NODE_ID = "(l_orderkey * 8 + l_linenumber)"
+H1 = h_expr(NODE_ID, 2654435761)
+H2 = h_expr(NODE_ID, 2246822519)
+H3 = h_expr(NODE_ID, 3266489917)
+
+# lon/lat in 100-nanodegree ints (reference coordinate input unit,
+# src/build/sort/Sorter.cpp:199-201).
+LON100ND = f"""CASE
+  WHEN {H1} % 10 < 7 THEN 74000000 + {H2} % 7000000
+  WHEN {H1} % 10 < 9 THEN 1000000000 + {H2} % 50000000
+  ELSE -1750000000 + ({H2} % 3500) * 1000000
+END"""
+
+LAT100ND = f"""CASE
+  WHEN {H1} % 10 < 7 THEN 433000000 + {H3} % 5000000
+  WHEN {H1} % 10 < 9 THEN 300000000 + {H3} % 40000000
+  ELSE -550000000 + ({H3} % 1100) * 1000000
+END"""
+
+
+# ---------------------------------------------------------------------------
+# projection: (lon100nd, lat100nd) -> 31-bit integer world coords (x, y)
+# ---------------------------------------------------------------------------
+
+def x_expr(lon100nd: str) -> str:
+    """x ∈ [0, 2^31): linear in lon. Exact-operand IEEE division + floor."""
+    return (
+        f"CAST(floor((CAST({lon100nd} AS DOUBLE) + 1800000000.0)"
+        f" / 3600000000.0 * 2147483648.0) AS BIGINT)"
+    )
+
+
+def y_expr(lat100nd: str) -> str:
+    """y ∈ [0, 2^31): rational pseudo-Mercator (see module docstring).
+
+    u  = lat/100 degrees ∈ [-0.9, 0.9]
+    m  = u*(1 + u²*(0.1962 + u²*0.0937))   -- monotone, Mercator-like stretch
+    yn = 0.5 - 0.45*m ∈ (0, 1)             -- north up ⇒ smaller y
+    """
+    u = f"(CAST({lat100nd} AS DOUBLE) * 0.000000001)"
+    uu = f"({u} * {u})"
+    m = f"({u} * (1.0 + {uu} * (0.1962 + {uu} * 0.0937)))"
+    return f"CAST(floor((0.5 - 0.45 * {m}) * 2147483648.0) AS BIGINT)"
+
+
+def cell_expr(xy: str, zoom: int = LEAF_ZOOM) -> str:
+    """Tile column/row at ``zoom`` from a 31-bit world coordinate.
+
+    Division by a power of two is exact in double, so floor(x / 2^k) is
+    bit-identical across engines (== the reference's  x >> k  in
+    Tile::columnFromXZ, call site src/build/util/TileCatalog.h:76-78).
+    """
+    d = 1 << (31 - zoom)
+    return f"CAST(floor(({xy}) / {d}.0) AS INT)"
+
+
+def tile_id_expr(zoom: str | int, col: str, row: str) -> str:
+    return f"(({zoom}) * 16777216 + ({row}) * 4096 + ({col}))"
+
+
+# ---------------------------------------------------------------------------
+# node derivation (lineitem -> nodes)
+# ---------------------------------------------------------------------------
+
+# tag streams — keys drawn from the reference's default indexed-key list
+# (src/build/util/BuildSettings.cpp:45-73): highway, name, amenity.
+NODE_HIGHWAY = (
+    f"CASE WHEN {H1} % 4 = 0 THEN 'residential' WHEN {H1} % 4 = 1 THEN 'primary' "
+    f"WHEN {H1} % 4 = 2 THEN 'footway' ELSE NULL END"
+)
+NODE_NAME = (
+    f"CASE WHEN {H2} % 5 = 0 THEN concat('A', CAST({NODE_ID} AS STRING)) "
+    f"WHEN {H2} % 5 = 1 THEN concat('B', CAST({NODE_ID} AS STRING)) ELSE NULL END"
+)
+NODE_AMENITY = (
+    f"CASE WHEN {H3} % 11 = 0 THEN 'cafe' WHEN {H3} % 11 = 1 THEN 'parking' "
+    f"ELSE NULL END"
+)
+
+
+def nodes_select(lineitem: str = "lineitem") -> str:
+    """SELECT deriving the canonical node table from ``lineitem``.
+
+    Columns: id, lon100nd, lat100nd, x, y, cell_col, cell_row,
+             highway, name, amenity, orderkey (lineage).
+    """
+    return f"""SELECT
+  {NODE_ID} AS id,
+  {LON100ND} AS lon100nd,
+  {LAT100ND} AS lat100nd,
+  {x_expr(LON100ND)} AS x,
+  {y_expr(LAT100ND)} AS y,
+  {cell_expr(x_expr(LON100ND))} AS cell_col,
+  {cell_expr(y_expr(LAT100ND))} AS cell_row,
+  {NODE_HIGHWAY} AS highway,
+  {NODE_NAME} AS name,
+  {NODE_AMENITY} AS amenity,
+  l_orderkey AS orderkey,
+  l_linenumber AS linenumber
+FROM {lineitem}"""
+
+
+# ---------------------------------------------------------------------------
+# way derivation (orders + lineitem -> ways / way_members)
+# ---------------------------------------------------------------------------
+
+WH = h_expr("o_orderkey", 2654435761)
+WAY_HIGHWAY = (
+    f"CASE WHEN {WH} % 3 = 0 THEN 'residential' "
+    f"WHEN {WH} % 3 = 1 THEN 'secondary' ELSE NULL END"
+)
+WAY_NAME = (
+    f"CASE WHEN {WH} % 4 = 0 THEN concat('A way ', CAST(o_orderkey AS STRING)) "
+    f"WHEN {WH} % 4 = 1 THEN concat('Road ', CAST(o_orderkey AS STRING)) "
+    f"ELSE NULL END"
+)
+WAY_BUILDING = f"CASE WHEN {WH} % 5 = 0 THEN 'yes' ELSE NULL END"
+# closed ring iff hash says so AND the way has >= 3 distinct nodes
+# (ring semantics: src/build/sort/Sorter.cpp:274-291)
+WAY_CLOSED = f"({WH} % 7 = 0)"
+
+
+def ways_select(orders: str = "orders", lineitem: str = "lineitem") -> str:
+    """Way header table: id, n_nodes, closed, tags. One row per order
+    with >= 2 lineitems (ways need >= 2 nodes, Sorter.cpp:264-272)."""
+    return f"""SELECT
+  o.o_orderkey AS id,
+  c.n_nodes AS n_nodes,
+  CASE WHEN {WH.replace('o_orderkey', 'o.o_orderkey')} % 7 = 0
+       AND c.n_nodes >= 3 THEN TRUE ELSE FALSE END AS closed,
+  {WAY_HIGHWAY.replace('o_orderkey', 'o.o_orderkey')} AS highway,
+  {WAY_NAME.replace('o_orderkey', 'o.o_orderkey')} AS name,
+  {WAY_BUILDING.replace('o_orderkey', 'o.o_orderkey')} AS building
+FROM {orders} o
+JOIN (SELECT l_orderkey, count(*) AS n_nodes FROM {lineitem} GROUP BY l_orderkey) c
+  ON c.l_orderkey = o.o_orderkey
+WHERE c.n_nodes >= 2"""
+
+
+def way_members_select(orders: str = "orders", lineitem: str = "lineitem") -> str:
+    """(way_id, seq, node_id) rows in way order; closed rings repeat the
+    first node as the last entry (seq = n_nodes)."""
+    return f"""SELECT w.id AS way_id, m.seq AS seq, m.node_id AS node_id
+FROM ({ways_select(orders, lineitem)}) w
+JOIN (
+  SELECT l_orderkey, l_linenumber - 1 AS seq,
+         l_orderkey * 8 + l_linenumber AS node_id
+  FROM {lineitem}
+  UNION ALL
+  SELECT mn.ok AS l_orderkey, mx.n_nodes AS seq,
+         mn.ok * 8 + mn.min_line AS node_id
+  FROM (SELECT l_orderkey AS ok, min(l_linenumber) AS min_line FROM {lineitem}
+        GROUP BY l_orderkey) mn
+  JOIN (SELECT l_orderkey, count(*) AS n_nodes FROM {lineitem}
+        GROUP BY l_orderkey) mx ON mx.l_orderkey = mn.ok
+) m ON m.l_orderkey = w.id
+WHERE m.seq < w.n_nodes OR w.closed"""
+
+
+# ---------------------------------------------------------------------------
+# relation derivation (customer / nation / region -> relations)
+# ---------------------------------------------------------------------------
+
+# relation ids live in disjoint ranges so typed ids never collide
+CUST_REL_BASE = 10_000_000
+NATION_REL_BASE = 20_000_000
+REGION_REL_BASE = 30_000_000
+
+RH = h_expr("c_custkey", 2654435761)
+REL_BOUNDARY = f"CASE WHEN {RH} % 3 = 0 THEN 'administrative' ELSE NULL END"
+REL_NAME = (
+    f"CASE WHEN {RH} % 2 = 0 THEN concat('District ', CAST(c_custkey AS STRING)) "
+    f"ELSE NULL END"
+)
+
+
+def relations_select(customer: str = "customer") -> str:
+    """Level-0 relations (way members only): one per customer."""
+    return f"""SELECT
+  {CUST_REL_BASE} + c_custkey AS id,
+  {REL_BOUNDARY} AS boundary,
+  {REL_NAME} AS name,
+  c_nationkey AS nationkey
+FROM {customer}"""
+
+
+def relation_members_select(customer: str = "customer", orders: str = "orders") -> str:
+    """(rel_id, seq, member_type, member_id): customer rel -> its order-ways,
+    ordered by orderkey. member_type: 0=node 1=way 2=relation
+    (typed id = id*4 + type, src/build/sort/Sorter.cpp:527)."""
+    return f"""SELECT
+  {CUST_REL_BASE} + c.c_custkey AS rel_id,
+  CAST(row_number() OVER (PARTITION BY c.c_custkey ORDER BY o.o_orderkey) - 1 AS INT) AS seq,
+  1 AS member_type,
+  o.o_orderkey AS member_id
+FROM {customer} c
+JOIN {orders} o ON o.o_custkey = c.c_custkey
+JOIN (SELECT l_orderkey, count(*) n FROM lineitem GROUP BY l_orderkey) lc
+  ON lc.l_orderkey = o.o_orderkey AND lc.n >= 2"""
+
+
+def super_relation_members_select(
+    customer: str = "customer", nation: str = "nation", region: str = "region"
+) -> str:
+    """Nation relations contain customer relations; region relations contain
+    nation relations (2 super-levels -> level-ordered resolution, J6)."""
+    return f"""SELECT {NATION_REL_BASE} + n.n_nationkey AS rel_id,
+  CAST(row_number() OVER (PARTITION BY n.n_nationkey ORDER BY c.c_custkey) - 1 AS INT) AS seq,
+  2 AS member_type, {CUST_REL_BASE} + c.c_custkey AS member_id
+FROM {nation} n JOIN {customer} c ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT {REGION_REL_BASE} + r.r_regionkey AS rel_id,
+  CAST(row_number() OVER (PARTITION BY r.r_regionkey ORDER BY n.n_nationkey) - 1 AS INT) AS seq,
+  2 AS member_type, {NATION_REL_BASE} + n.n_nationkey AS member_id
+FROM {region} r JOIN {nation} n ON n.n_regionkey = r.r_regionkey"""
+
+
+# ---------------------------------------------------------------------------
+# tile pyramid (density split/merge) as a CTE chain over node cells
+# ---------------------------------------------------------------------------
+
+def pyramid_ctes(nodes_cte: str, density: int) -> str:
+    """CTE definitions (assumes a CTE named ``{nodes_cte}`` with cell_col,
+    cell_row). Emits survivors s12, s9, s6, s3 and root s0.
+
+    Semantics (our spec of TileIndexBuilder.cpp:55-269): a tile at zoom z
+    survives iff the node count *not claimed by surviving descendants*
+    is >= density; unclaimed counts roll up along 12→9→6→3→0; the root
+    always survives and absorbs the remainder.
+    """
+    parts = [
+        f"cells AS (SELECT cell_col AS c, cell_row AS r, count(*) AS cnt "
+        f"FROM {nodes_cte} GROUP BY cell_col, cell_row)",
+        f"s12 AS (SELECT c, r, cnt FROM cells WHERE cnt >= {density})",
+        f"r9 AS (SELECT CAST(floor(c / 8.0) AS INT) AS c, "
+        f"CAST(floor(r / 8.0) AS INT) AS r, sum(cnt) AS cnt "
+        f"FROM cells WHERE cnt < {density} GROUP BY 1, 2)",
+        f"s9 AS (SELECT c, r, cnt FROM r9 WHERE cnt >= {density})",
+        f"r6 AS (SELECT CAST(floor(c / 8.0) AS INT) AS c, "
+        f"CAST(floor(r / 8.0) AS INT) AS r, sum(cnt) AS cnt "
+        f"FROM r9 WHERE cnt < {density} GROUP BY 1, 2)",
+        f"s6 AS (SELECT c, r, cnt FROM r6 WHERE cnt >= {density})",
+        f"r3 AS (SELECT CAST(floor(c / 8.0) AS INT) AS c, "
+        f"CAST(floor(r / 8.0) AS INT) AS r, sum(cnt) AS cnt "
+        f"FROM r6 WHERE cnt < {density} GROUP BY 1, 2)",
+        f"s3 AS (SELECT c, r, cnt FROM r3 WHERE cnt >= {density})",
+        f"s0 AS (SELECT 0 AS c, 0 AS r, COALESCE(sum(cnt), 0) AS cnt "
+        f"FROM r3 WHERE cnt < {density})",
+    ]
+    return ",\n".join(parts)
+
+
+def cell_tile_cte() -> str:
+    """cell→tile mapping: deepest surviving tile containing the cell
+    (the reference's cellToPile grid, src/build/util/TileCatalog.h:74-82).
+    Requires pyramid_ctes() in scope."""
+    return f"""cell_tile AS (
+  SELECT cells.c AS c, cells.r AS r,
+    COALESCE(
+      {tile_id_expr(12, 's12.c', 's12.r')},
+      {tile_id_expr(9, 's9.c', 's9.r')},
+      {tile_id_expr(6, 's6.c', 's6.r')},
+      {tile_id_expr(3, 's3.c', 's3.r')},
+      0) AS tile_id
+  FROM cells
+  LEFT JOIN s12 ON s12.c = cells.c AND s12.r = cells.r
+  LEFT JOIN s9 ON s9.c = CAST(floor(cells.c / 8.0) AS INT)
+             AND s9.r = CAST(floor(cells.r / 8.0) AS INT)
+  LEFT JOIN s6 ON s6.c = CAST(floor(cells.c / 64.0) AS INT)
+             AND s6.r = CAST(floor(cells.r / 64.0) AS INT)
+  LEFT JOIN s3 ON s3.c = CAST(floor(cells.c / 512.0) AS INT)
+             AND s3.r = CAST(floor(cells.r / 512.0) AS INT)
+)"""
+
+
+# zoom → divisor from zoom-12 cell coords (parent step 3 ⇒ /8 per step)
+ZOOM_DIVISORS: tuple[tuple[int, int], ...] = tuple(
+    (z, 1 << (LEAF_ZOOM - z)) for z in ZOOM_LEVELS
+)
+
+
+def zoom_levels_table() -> str:
+    """Inline (z, d) lookup usable in both dialects via UNION ALL."""
+    rows = " UNION ALL ".join(f"SELECT {z} AS z, {d} AS d" for z, d in ZOOM_DIVISORS)
+    return f"({rows})"
