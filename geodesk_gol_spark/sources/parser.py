@@ -1,0 +1,116 @@
+"""Span parser: interleaved documents → typed feature DataFrames (S1).
+
+The reference's equivalent is the PBF decode callbacks
+(/root/reference/src/osm/OsmPbfReader.h:232-262 — dense nodes, ways,
+relations) feeding the Sorter (/root/reference/src/build/sort/Sorter.h:99-105).
+Here the "decode" is a single JVM-side plan: posexplode over the spans array,
+kind dispatch, from_json with fixed schemas.  Lineage columns
+``(doc_id, span_seq)`` are carried on every feature row so the
+span-sequence invariant can be re-verified after any shuffle.
+
+No Python executes per row — explode/from_json are codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NODE_JSON = "struct<id:bigint,lon:int,lat:int,tags:map<string,string>>"
+WAY_JSON = "struct<id:bigint,nodes:array<bigint>,tags:map<string,string>>"
+REL_JSON = (
+    "struct<id:bigint,"
+    "members:array<struct<t:tinyint,id:bigint,role:string>>,"
+    "tags:map<string,string>>"
+)
+
+# typed feature id = (id << 2) | type, 0=node 1=way 2=relation
+# (reference: src/build/sort/Sorter.cpp:527)
+TYPE_NODE, TYPE_WAY, TYPE_RELATION = 0, 1, 2
+
+
+def typed_id(id_col, type_code: int):
+    return (F.col(id_col) * 4 + F.lit(type_code)).alias("typed_id")
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, span_seq, kind, text, media_ref, offset) — one row per span."""
+    return docs.select(
+        "doc_id", F.posexplode("spans").alias("span_seq", "s")
+    ).select("doc_id", "span_seq", "s.kind", "s.text", "s.media_ref", "s.offset")
+
+
+def parse_features(docs: DataFrame) -> dict[str, DataFrame]:
+    """Parse feature spans into nodes / ways / relations frames.
+
+    Returns dict with keys ``nodes``, ``ways``, ``relations``, ``media``.
+    """
+    ex = explode_spans(docs)
+
+    nodes = (
+        ex.filter(F.col("kind") == "node")
+        .withColumn("j", F.from_json("text", NODE_JSON))
+        .select(
+            F.col("j.id").alias("id"),
+            F.col("j.lon").alias("lon100nd"),
+            F.col("j.lat").alias("lat100nd"),
+            F.col("j.tags").alias("tags"),
+            "doc_id",
+            "span_seq",
+        )
+    )
+    ways = (
+        ex.filter(F.col("kind") == "way")
+        .withColumn("j", F.from_json("text", WAY_JSON))
+        .select(
+            F.col("j.id").alias("id"),
+            F.col("j.nodes").alias("node_ids"),
+            F.col("j.tags").alias("tags"),
+            "doc_id",
+            "span_seq",
+        )
+    )
+    relations = (
+        ex.filter(F.col("kind") == "relation")
+        .withColumn("j", F.from_json("text", REL_JSON))
+        .select(
+            F.col("j.id").alias("id"),
+            F.col("j.members").alias("members"),
+            F.col("j.tags").alias("tags"),
+            "doc_id",
+            "span_seq",
+        )
+    )
+    media = ex.filter(F.col("kind") == "media").select(
+        "doc_id", "span_seq", "media_ref", "offset"
+    )
+    return {"nodes": nodes, "ways": ways, "relations": relations, "media": media}
+
+
+def reconstruct_spans(docs: DataFrame) -> DataFrame:
+    """Round-trip check helper: explode + regroup must reproduce ``spans``.
+
+    Used by tests to prove span-sequence equality (kind, text, media_ref,
+    order) survives the explode/shuffle/regroup cycle — the per-row
+    invariant of the north rule.
+    """
+    ex = explode_spans(docs)
+    return (
+        ex.repartition("doc_id")  # force a shuffle on purpose
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("span_seq", "kind", "text", "media_ref", "offset")
+                )
+            ).alias("raw")
+        )
+        .withColumn(
+            "spans",
+            F.expr(
+                "transform(raw, s -> struct(s.kind AS kind, s.text AS text, "
+                "s.media_ref AS media_ref, s.offset AS offset))"
+            ),
+        )
+        .select("doc_id", "spans")
+    )

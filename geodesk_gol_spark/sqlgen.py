@@ -198,7 +198,9 @@ def way_members_select(orders: str = "orders", lineitem: str = "lineitem") -> st
     return f"""SELECT w.id AS way_id, m.seq AS seq, m.node_id AS node_id
 FROM ({ways_select(orders, lineitem)}) w
 JOIN (
-  SELECT l_orderkey, l_linenumber - 1 AS seq,
+  SELECT l_orderkey,
+         CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
+              - 1 AS INT) AS seq,
          l_orderkey * 8 + l_linenumber AS node_id
   FROM {lineitem}
   UNION ALL
@@ -209,7 +211,7 @@ JOIN (
   JOIN (SELECT l_orderkey, count(*) AS n_nodes FROM {lineitem}
         GROUP BY l_orderkey) mx ON mx.l_orderkey = mn.ok
 ) m ON m.l_orderkey = w.id
-WHERE m.seq < w.n_nodes OR w.closed"""
+WHERE m.seq < w.n_nodes OR (w.closed AND m.seq = w.n_nodes)"""
 
 
 # ---------------------------------------------------------------------------
