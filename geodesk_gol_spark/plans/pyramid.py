@@ -1,0 +1,215 @@
+"""Tile-pyramid construction (A1 + A4 + A5 + the cell→tile map for J1).
+
+Reference semantics re-expressed Spark-first
+(/root/reference/src/build/analyze/TileIndexBuilder.cpp:55-269):
+
+- leaf statistics grid is the 4096×4096 zoom-12 cell grid
+  (FastTileCalculator.h:53-55) → ``groupBy(cell).count()`` — a classic
+  partial/final hash aggregation (Analyzer.cpp:54-67,172-176);
+- tiles below ``min_tile_density`` dissolve into their parent
+  (TileIndexBuilder.cpp:183-239) → iterative 64×-shrinking rollup,
+  zoom 12→9→6→3→0 (the reference's zoom-subset tests use exactly this
+  ladder, test/test_save.py:20);
+- ``max_tiles`` cap keeps the densest tiles (TileIndexBuilder.cpp:93-126)
+  → driver-side top-K with deterministic (count desc, tile_id asc)
+  tiebreak; dropped tiles re-dissolve into their nearest surviving
+  ancestor;
+- the cellToPile lookup grid (TileCatalog.h:74-82) → per-zoom broadcast
+  hash joins with COALESCE (deepest surviving tile wins).
+
+Scale notes: the cell-count aggregate stays distributed (≤16.7M groups
+worst case); only *survivor candidates* are collected (bounded by
+total_nodes / density, and then capped at max_tiles = 65 535), so driver
+memory is bounded regardless of input size.  The survivor frames that
+drive assignment are ≤65 535 rows each → always broadcast, never a
+shuffle on the big side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import BuildSettings, tile_id as make_tile_id
+
+_LADDER = (12, 9, 6, 3)  # root (zoom 0) handled separately
+
+
+def _shrink(df: DataFrame) -> DataFrame:
+    """Roll one pyramid step up (÷8 per axis, 64 children → 1 parent)."""
+    return (
+        df.groupBy(
+            F.expr("CAST(floor(c / 8.0) AS INT)").alias("c"),
+            F.expr("CAST(floor(r / 8.0) AS INT)").alias("r"),
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+@dataclass
+class TileCatalog:
+    """Driver-side pyramid: ≤ max_tiles rows, broadcast to every join."""
+
+    settings: BuildSettings
+    tiles: pd.DataFrame  # tile_id, zoom, col, row, node_count, parent_tile_id
+
+    def survivors(self, zoom: int) -> pd.DataFrame:
+        return self.tiles[self.tiles.zoom == zoom]
+
+    def df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self.tiles).select(
+            F.col("tile_id").cast("int"),
+            F.col("zoom").cast("int"),
+            F.col("col").cast("int"),
+            F.col("row").cast("int"),
+            F.col("node_count").cast("long"),
+            F.col("parent_tile_id").cast("int"),
+        )
+
+    def assign(
+        self,
+        df: DataFrame,
+        cell_col: str = "cell_col",
+        cell_row: str = "cell_row",
+        out: str = "tile_id",
+    ) -> DataFrame:
+        """cell→tile: deepest surviving tile containing the cell (J1).
+
+        Four broadcast left joins + COALESCE — the Spark re-expression of
+        the reference's dense cellToPile array lookup.
+        """
+        spark = df.sparkSession
+        res = df
+        picks = []
+        joined_zooms = []
+        for zoom in _LADDER:
+            s = self.survivors(zoom)
+            if len(s) == 0:
+                continue
+            joined_zooms.append(zoom)
+            name = f"_t{zoom}"
+            sdf = spark.createDataFrame(
+                s[["col", "row", "tile_id"]].astype("int64")
+            ).select(
+                F.col("col").cast("int").alias(f"{name}_c"),
+                F.col("row").cast("int").alias(f"{name}_r"),
+                F.col("tile_id").cast("int").alias(name),
+            )
+            d = 1 << (12 - zoom)
+            res = res.join(
+                F.broadcast(sdf),
+                (F.expr(f"CAST(floor({cell_col} / {d}.0) AS INT)") == F.col(f"{name}_c"))
+                & (F.expr(f"CAST(floor({cell_row} / {d}.0) AS INT)") == F.col(f"{name}_r")),
+                "left",
+            )
+            picks.append(F.col(name))
+        picks.append(F.lit(0))  # root tile_id == 0
+        res = res.withColumn(out, F.coalesce(*picks).cast("int"))
+        return res.drop(
+            *[c for z in joined_zooms for c in (f"_t{z}", f"_t{z}_c", f"_t{z}_r")]
+        )
+
+
+def build_tile_catalog(nodes: DataFrame, settings: BuildSettings) -> TileCatalog:
+    """nodes (with cell_col/cell_row) → TileCatalog.
+
+    Distributed aggregation; only bounded survivor candidates hit the
+    driver.  Deterministic for a given input (pure integer arithmetic).
+    """
+    cells = (
+        nodes.groupBy(
+            F.col("cell_col").alias("c"), F.col("cell_row").alias("r")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    d = settings.min_tile_density
+    frames: list[pd.DataFrame] = []
+    cur = cells
+    root_count = 0
+    for zoom in _LADDER:
+        surv = cur.filter(F.col("cnt") >= d).toPandas()
+        surv["zoom"] = zoom
+        frames.append(surv)
+        resid = cur.filter(F.col("cnt") < d)
+        if zoom == _LADDER[-1]:
+            row = resid.agg(F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0][0]
+            root_count = int(row)
+        else:
+            cur = _shrink(resid).persist()
+    cells.unpersist()
+
+    cand = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+    if len(cand) == 0:
+        cand = pd.DataFrame(columns=["c", "r", "cnt", "zoom"])
+    cand["tile_id"] = [
+        make_tile_id(int(z), int(c), int(r))
+        for z, c, r in zip(cand.zoom, cand.c, cand.r)
+    ]
+
+    # max_tiles cap: keep densest (count desc, tile_id asc); dropped tiles
+    # dissolve into their nearest surviving ancestor (ultimately the root).
+    cand = cand.sort_values(["cnt", "tile_id"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    keep = cand.iloc[: settings.max_tiles - 1].copy()  # -1: root always exists
+    dropped = cand.iloc[settings.max_tiles - 1 :]
+    if len(dropped):
+        kept_keys = {
+            (int(z), int(c), int(r)) for z, c, r in zip(keep.zoom, keep.c, keep.r)
+        }
+        extra = dict.fromkeys(kept_keys, 0)
+        root_extra = 0
+        for z, c, r, cnt in zip(dropped.zoom, dropped.c, dropped.r, dropped.cnt):
+            z, c, r = int(z), int(c), int(r)
+            placed = False
+            for az in [q for q in _LADDER if q < z]:
+                dd = 1 << (z - az)
+                key = (az, c // dd, r // dd)
+                if key in extra:
+                    extra[key] += int(cnt)
+                    placed = True
+                    break
+            if not placed:
+                root_extra += int(cnt)
+        keep["cnt"] = keep.apply(
+            lambda t: int(t.cnt) + extra[(int(t.zoom), int(t.c), int(t.r))], axis=1
+        )
+        root_count += root_extra
+
+    # parent = nearest surviving ancestor (root otherwise)
+    kept_keys = {(int(z), int(c), int(r)) for z, c, r in zip(keep.zoom, keep.c, keep.r)}
+
+    def parent_of(z: int, c: int, r: int) -> int:
+        for az in [q for q in _LADDER if q < z]:
+            dd = 1 << (z - az)
+            if (az, c // dd, r // dd) in kept_keys:
+                return make_tile_id(az, c // dd, r // dd)
+        return 0
+
+    rows = [
+        {
+            "tile_id": make_tile_id(int(z), int(c), int(r)),
+            "zoom": int(z),
+            "col": int(c),
+            "row": int(r),
+            "node_count": int(cnt),
+            "parent_tile_id": parent_of(int(z), int(c), int(r)),
+        }
+        for z, c, r, cnt in zip(keep.zoom, keep.c, keep.r, keep.cnt)
+    ]
+    rows.append(
+        {
+            "tile_id": 0,
+            "zoom": 0,
+            "col": 0,
+            "row": 0,
+            "node_count": int(root_count),
+            "parent_tile_id": 0,
+        }
+    )
+    tiles = pd.DataFrame(rows).sort_values("tile_id").reset_index(drop=True)
+    return TileCatalog(settings=settings, tiles=tiles)
