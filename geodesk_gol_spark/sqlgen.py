@@ -336,6 +336,153 @@ ZOOM_DIVISORS: tuple[tuple[int, int], ...] = tuple(
 )
 
 
+# ---------------------------------------------------------------------------
+# TilePair home-tile selection (J3) from a feature's cell-extent
+# ---------------------------------------------------------------------------
+# A multi-cell feature is assigned to at most two adjacent sibling tiles
+# (E/W or N/S "twins") at the deepest zoom where its extent spans <= 2 such
+# tiles; otherwise it climbs toward the root.  Reference semantics:
+# TilePair normalization src/build/util/TileCatalog.h:114-122, twin encoding
+# src/build/util/ParentTileLocator.h:23-36, way logic Sorter.cpp:389-406.
+#
+# Our spec: given the zoom-12 cell extent (minc, minr, maxc, maxr) of a
+# feature's member nodes, zoom z *qualifies* iff
+#   (floor(maxc/d) - floor(minc/d)) + (floor(maxr/d) - floor(minr/d)) <= 1
+# (0 = single tile, 1 = adjacent pair; diagonal spans sum to 2 and climb).
+# z* = the deepest qualifying zoom (z=0 always qualifies).  The 1-2
+# candidate tiles at z* are then mapped to their deepest *surviving*
+# ancestor-or-self in the pyramid (twins may collapse to one tile).
+
+def _span_at(zoom: int, lo: str, hi: str) -> str:
+    d = 1 << (LEAF_ZOOM - zoom)
+    return (
+        f"(CAST(floor(({hi}) / {d}.0) AS INT) - CAST(floor(({lo}) / {d}.0) AS INT))"
+    )
+
+
+def qual_expr(zoom: int, minc="minc", minr="minr", maxc="maxc", maxr="maxr") -> str:
+    return f"({_span_at(zoom, minc, maxc)} + {_span_at(zoom, minr, maxr)} <= 1)"
+
+
+def zstar_expr(minc="minc", minr="minr", maxc="maxc", maxr="maxr") -> str:
+    """Deepest qualifying zoom as a CASE chain (z=0 always qualifies)."""
+    cases = " ".join(
+        f"WHEN {qual_expr(z, minc, minr, maxc, maxr)} THEN {z}"
+        for z in ZOOM_LEVELS
+        if z != 0
+    )
+    return f"CASE {cases} ELSE 0 END"
+
+
+def at_zstar_expr(cell: str, zstar: str = "zstar") -> str:
+    """Tile col/row at the (data-dependent) zoom z* of a cell coordinate."""
+    cases = " ".join(
+        f"WHEN {zstar} = {z} THEN CAST(floor(({cell}) / {d}.0) AS INT)"
+        for z, d in ZOOM_DIVISORS
+    )
+    return f"CASE {cases} END"
+
+
+def corner_cell_expr(colz: str, zstar: str = "zstar") -> str:
+    """Zoom-12 cell coordinate of a tile's min corner (tile at zoom z*)."""
+    cases = " ".join(
+        f"WHEN {zstar} = {z} THEN ({colz}) * {d}" for z, d in ZOOM_DIVISORS
+    )
+    return f"CASE {cases} END"
+
+
+def home_tiles_ctes(ext_cte: str, prefix: str = "w") -> str:
+    """CTEs mapping an extent CTE (id, minc, minr, maxc, maxr) to home
+    tiles (id, tile_id, twin).  Requires pyramid_ctes() in scope.
+    Final CTE is named ``{prefix}_homes``."""
+    z = zstar_expr()
+    c0, r0 = at_zstar_expr("minc"), at_zstar_expr("minr")
+    c1, r1 = at_zstar_expr("maxc"), at_zstar_expr("maxr")
+    joins, coalesce = [], []
+    for zoom, d in ZOOM_DIVISORS:
+        if zoom == 0:
+            continue
+        s = f"s{zoom}"
+        joins.append(
+            f"LEFT JOIN {s} ON cand.zstar >= {zoom} "
+            f"AND {s}.c = CAST(floor(cand.cc / {d}.0) AS INT) "
+            f"AND {s}.r = CAST(floor(cand.cr / {d}.0) AS INT)"
+        )
+        coalesce.append(tile_id_expr(zoom, f"{s}.c", f"{s}.r"))
+    coalesce.append("0")
+    return f"""{prefix}_ext2 AS (
+  SELECT id, minc, minr, maxc, maxr, {z} AS zstar FROM {ext_cte}
+),
+{prefix}_cand AS (
+  SELECT id, zstar, {c0} AS c, {r0} AS r, 0 AS twin,
+         {corner_cell_expr(c0)} AS cc, {corner_cell_expr(r0)} AS cr
+  FROM {prefix}_ext2
+  UNION ALL
+  SELECT id, zstar, {c1} AS c, {r1} AS r, 1 AS twin,
+         {corner_cell_expr(c1)} AS cc, {corner_cell_expr(r1)} AS cr
+  FROM {prefix}_ext2
+  WHERE NOT ({c0} = {c1} AND {r0} = {r1})
+),
+{prefix}_mapped AS (
+  SELECT cand.id AS id, cand.twin AS twin,
+         COALESCE({', '.join(coalesce)}) AS tile_id
+  FROM {prefix}_cand cand
+  {' '.join(joins)}
+),
+{prefix}_homes AS (
+  SELECT id, tile_id, min(twin) AS twin
+  FROM {prefix}_mapped GROUP BY id, tile_id
+)"""
+
+
+def way_extent_cte(nodes_cte: str = "nodes") -> str:
+    """wext CTE: way cell extents from way members × node cells."""
+    return f"""wext AS (
+  SELECT wm.way_id AS id,
+         min(n.cell_col) AS minc, min(n.cell_row) AS minr,
+         max(n.cell_col) AS maxc, max(n.cell_row) AS maxr
+  FROM ({way_members_select()}) wm
+  JOIN {nodes_cte} n ON n.id = wm.node_id
+  GROUP BY wm.way_id
+)"""
+
+
+def relation_extent_ctes(nodes_cte: str = "nodes") -> str:
+    """Relation extents by explicit level expansion (customer rels from
+    way extents; nation from customer; region from nation).  Requires
+    ``wext`` in scope.  Final CTE: ``rext`` (id, minc, minr, maxc, maxr,
+    level)."""
+    return f"""crel_ext AS (
+  SELECT rm.rel_id AS id,
+         min(w.minc) AS minc, min(w.minr) AS minr,
+         max(w.maxc) AS maxc, max(w.maxr) AS maxr, 0 AS level
+  FROM ({relation_members_select()}) rm
+  JOIN wext w ON w.id = rm.member_id
+  GROUP BY rm.rel_id
+),
+srel AS ({super_relation_members_select()}),
+nrel_ext AS (
+  SELECT srel.rel_id AS id,
+         min(c.minc) AS minc, min(c.minr) AS minr,
+         max(c.maxc) AS maxc, max(c.maxr) AS maxr, 1 AS level
+  FROM srel JOIN crel_ext c ON c.id = srel.member_id
+  WHERE srel.rel_id >= {NATION_REL_BASE} AND srel.rel_id < {REGION_REL_BASE}
+  GROUP BY srel.rel_id
+),
+rrel_ext AS (
+  SELECT srel.rel_id AS id,
+         min(n.minc) AS minc, min(n.minr) AS minr,
+         max(n.maxc) AS maxc, max(n.maxr) AS maxr, 2 AS level
+  FROM srel JOIN nrel_ext n ON n.id = srel.member_id
+  WHERE srel.rel_id >= {REGION_REL_BASE}
+  GROUP BY srel.rel_id
+),
+rext AS (
+  SELECT * FROM crel_ext UNION ALL SELECT * FROM nrel_ext
+  UNION ALL SELECT * FROM rrel_ext
+)"""
+
+
 def zoom_levels_table() -> str:
     """Inline (z, d) lookup usable in both dialects via UNION ALL."""
     rows = " UNION ALL ".join(f"SELECT {z} AS z, {d} AS d" for z, d in ZOOM_DIVISORS)

@@ -1,0 +1,111 @@
+"""Super-relation edge cases: cycles, partial members, missing members.
+
+Mirrors the reference coverage promised in FIXTURES.md §2:
+cycle break (SuperRelationResolver.cpp:210-235), missing members
+(Sorter.cpp:510-518), self-references (Sorter.cpp:490-499).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geodesk_gol_spark.config import BuildSettings
+from geodesk_gol_spark.functions.mercator import with_projection
+from geodesk_gol_spark.operators.assign import node_points, relation_extents, way_extents
+from geodesk_gol_spark.plans.pyramid import build_tile_catalog
+
+REL_SCHEMA = (
+    "id long, members array<struct<t:tinyint,id:bigint,role:string>>, "
+    "tags map<string,string>, doc_id string, span_seq int"
+)
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    nodes = spark.createDataFrame(
+        [(i, 74000000 + i * 1000, 433000000 + i * 1000, {}, "d", i) for i in range(10)],
+        "id long, lon100nd int, lat100nd int, tags map<string,string>, "
+        "doc_id string, span_seq int",
+    )
+    proj = with_projection(nodes).persist()
+    points = node_points(proj).persist()
+    ways = spark.createDataFrame(
+        [(100, [0, 1, 2], {}, "d", 0), (101, [3, 4], {}, "d", 1)],
+        "id long, node_ids array<bigint>, tags map<string,string>, "
+        "doc_id string, span_seq int",
+    )
+    wext = way_extents(ways, points).persist()
+    return points, wext
+
+
+def _rels(spark, rows):
+    return spark.createDataFrame(rows, REL_SCHEMA).persist()
+
+
+def test_pure_cycle_is_unresolved(spark, world):
+    points, wext = world
+    rels = _rels(
+        spark,
+        [
+            (900, [(2, 901, "a")], {}, "x", 0),
+            (901, [(2, 900, "a")], {}, "x", 1),
+        ],
+    )
+    ext, unresolved = relation_extents(rels, points, wext)
+    assert ext.count() == 0
+    assert sorted(r.rel_id for r in unresolved.collect()) == [900, 901]
+
+
+def test_cycle_with_anchor_breaks_deterministically(spark, world):
+    points, wext = world
+    rels = _rels(
+        spark,
+        [
+            (900, [(2, 901, "a"), (1, 100, "w")], {}, "x", 0),
+            (901, [(2, 900, "a")], {}, "x", 1),
+        ],
+    )
+    ext, unresolved = relation_extents(rels, points, wext)
+    rows = {r.id: r for r in ext.collect()}
+    assert unresolved.count() == 0
+    assert set(rows) == {900, 901}
+    assert rows[900].refcycle and rows[901].refcycle
+    # 901 inherits 900's extent (which came from way 100)
+    assert rows[901].minc == rows[900].minc
+
+
+def test_self_reference_dropped(spark, world):
+    points, wext = world
+    rels = _rels(spark, [(902, [(2, 902, "self"), (1, 101, "w")], {}, "x", 0)])
+    ext, unresolved = relation_extents(rels, points, wext)
+    rows = ext.collect()
+    assert len(rows) == 1 and not rows[0].refcycle and rows[0].level == 0
+    assert unresolved.count() == 0
+
+
+def test_missing_members_partial_resolve(spark, world):
+    points, wext = world
+    rels = _rels(
+        spark,
+        [(903, [(1, 100, "w"), (0, 99999, "missing"), (1, 77777, "missing")], {}, "x", 0)],
+    )
+    ext, _ = relation_extents(rels, points, wext)
+    row = ext.collect()[0]
+    assert row.n_members == 3 and row.n_resolved == 1
+
+
+def test_deep_chain_levels(spark, world):
+    points, wext = world
+    rels = _rels(
+        spark,
+        [
+            (910, [(1, 100, "w")], {}, "x", 0),
+            (911, [(2, 910, "a")], {}, "x", 1),
+            (912, [(2, 911, "a")], {}, "x", 2),
+            (913, [(2, 912, "a")], {}, "x", 3),
+        ],
+    )
+    ext, _ = relation_extents(rels, points, wext)
+    lv = {r.id: r.level for r in ext.collect()}
+    assert lv == {910: 0, 911: 1, 912: 2, 913: 3}
