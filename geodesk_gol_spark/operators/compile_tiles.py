@@ -1,0 +1,118 @@
+"""Tile compiler (O1 + O4 + S4): Hilbert-clustered, deterministic tile store.
+
+Reference: per-tile compilation orders features along a Hilbert curve to
+build R-tree leaves (src/tile/compiler/HilbertIndexBuilder.cpp:16-130) and
+writes one binary blob per tile under a store transaction
+(src/build/compile/Compiler.cpp:831-886,960-976).  TES serialization sorts
+features by (type, id) for determinism (src/tile/tes/TesWriter.h:25-46).
+
+Spark re-expression: the "store" is a parquet dataset partitioned by
+``tile_id`` (partition pruning ≙ the reference's tile-index walk);
+``sortWithinPartitions(tile_id, hilbert, ftype, id)`` gives the same
+row-group spatial locality the reference gets from its R-tree leaf packing,
+with (ftype, id) as the deterministic tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hilbert import ORDER, hilbert_udf
+
+WORLD_BITS = 31
+
+
+def with_tile_local_hilbert(df: DataFrame) -> DataFrame:
+    """Add a Hilbert key from the feature center, scaled to the tile.
+
+    Expects columns: tile_id, cx, cy (center world coords).
+    The tile's zoom is tile_id >> 24; the tile spans 2^(31-zoom) world
+    units, quantized to 2^ORDER Hilbert cells per axis.
+    """
+    # tile edge = 2^(31-zoom) world units; pow(2, k) is double-exact (k<=53)
+    span = f"CAST(pow(2, {WORLD_BITS} - (tile_id >> 24)) AS BIGINT)"
+    scale = f"CAST(pow(2, {WORLD_BITS} - {ORDER} - (tile_id >> 24)) AS BIGINT)"
+    hx = (
+        f"CAST(floor((cx - CAST(tile_id & 4095 AS BIGINT) * {span}) / "
+        f"CAST({scale} AS DOUBLE)) AS BIGINT)"
+    )
+    hy = (
+        f"CAST(floor((cy - CAST((tile_id >> 12) & 4095 AS BIGINT) * {span}) / "
+        f"CAST({scale} AS DOUBLE)) AS BIGINT)"
+    )
+    lim = (1 << ORDER) - 1
+    clamp = "greatest(CAST(0 AS BIGINT), least(CAST({lim} AS BIGINT), {v}))"
+    hxc = F.expr(clamp.format(lim=lim, v=hx))
+    hyc = F.expr(clamp.format(lim=lim, v=hy))
+    return df.withColumn("hilbert", hilbert_udf(hxc, hyc))
+
+
+def compile_feature_rows(
+    feature_tiles: DataFrame,
+    points: DataFrame,
+    extents: DataFrame,
+    nodes: DataFrame,
+    ways: DataFrame,
+    relations: DataFrame,
+) -> DataFrame:
+    """Join assignments with payloads into store rows.
+
+    Output: tile_id, typed_id, ftype, id, is_ghost, twin, tags,
+            minx..maxy bbox, cx, cy, hilbert, doc_id, span_seq.
+    """
+    geom = points.select(
+        "typed_id",
+        F.col("x").alias("minx"), F.col("y").alias("miny"),
+        F.col("x").alias("maxx"), F.col("y").alias("maxy"),
+    ).unionByName(extents.select("typed_id", "minx", "miny", "maxx", "maxy"))
+
+    nulli = F.lit(None).cast("int")
+    payload = (
+        nodes.select(
+            (F.col("id") * 4).alias("typed_id"), "tags", "doc_id", "span_seq",
+            "lon100nd", "lat100nd",
+        )
+        .unionByName(
+            ways.select(
+                (F.col("id") * 4 + 1).alias("typed_id"), "tags", "doc_id", "span_seq",
+                nulli.alias("lon100nd"), nulli.alias("lat100nd"),
+            )
+        )
+        .unionByName(
+            relations.select(
+                (F.col("id") * 4 + 2).alias("typed_id"), "tags", "doc_id", "span_seq",
+                nulli.alias("lon100nd"), nulli.alias("lat100nd"),
+            )
+        )
+    )
+
+    from ..functions.areas import area_flags
+
+    areas = area_flags(ways, relations)
+    rows = (
+        feature_tiles.join(geom, "typed_id")
+        .join(payload, "typed_id")
+        .join(areas, "typed_id", "left")
+        .withColumn("is_area", F.coalesce(F.col("is_area"), F.lit(False)))
+        .withColumn("ftype", (F.col("typed_id") % 4).cast("tinyint"))
+        .withColumn("id", F.shiftright("typed_id", 2))
+        .withColumn(
+            "cx", ((F.col("minx") + F.col("maxx")) / 2).cast("long")
+        )
+        .withColumn("cy", ((F.col("miny") + F.col("maxy")) / 2).cast("long"))
+    )
+    return with_tile_local_hilbert(rows)
+
+
+def write_store(rows: DataFrame, path: str, partitions: int | None = None) -> None:
+    """S4: write the tile store — one parquet partition dir per tile,
+    Hilbert-clustered rows, deterministic (hilbert, ftype, id) order."""
+    n = partitions or rows.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    (
+        rows.repartition(int(n), "tile_id")
+        .sortWithinPartitions("tile_id", "hilbert", "ftype", "id")
+        .write.mode("overwrite")
+        .partitionBy("tile_id")
+        .parquet(path)
+    )

@@ -1,0 +1,147 @@
+"""Output formats (S7/F9/F10): GeoJSON(L), WKT, CSV, XML, ID list, count.
+
+Reference: format dispatch src/gol/QueryCommand.cpp:103-148,180-199;
+printers src/gol/query/*.h (GeoJson GeoJsonQueryPrinter.h:23-28, Csv
+CsvQueryPrinter.h:33-46); coordinate precision -p (0..15, default 7)
+src/gol/QueryCommand.cpp:218-222; cross-format consistency protocol
+test/test_query.py:33-63 (count == geojsonl lines == wkt count == list
+lines), which our tests mirror.
+
+All strings are built with exact integer/string Column ops (no float
+formatting) so the DuckDB oracle can reproduce them byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import sqlgen
+
+TYPE_LETTER = {0: "n", 1: "w", 2: "r"}
+
+
+def coord_str(col: str, precision: int = 7) -> Column:
+    return F.expr(sqlgen.coord_str_expr(col, precision))
+
+
+def _type_letter_col() -> Column:
+    return (
+        F.when(F.col("ftype") == 0, "n")
+        .when(F.col("ftype") == 1, "w")
+        .otherwise("r")
+    )
+
+
+def id_list(features: DataFrame) -> DataFrame:
+    """ID list lines, e.g. ``n12345`` — the -f list format."""
+    return features.select(
+        F.concat(_type_letter_col(), F.col("id").cast("string")).alias("line")
+    )
+
+
+def count_result(features: DataFrame) -> int:
+    """-f count (A7)."""
+    return features.count()
+
+
+def node_geojsonl(nodes: DataFrame, precision: int = 7) -> DataFrame:
+    """One GeoJSON Feature per line for point features.
+
+    Expects columns: id, lon100nd, lat100nd, tags.
+    """
+    geometry = F.concat(
+        F.lit('{"type":"Point","coordinates":['),
+        coord_str("lon100nd", precision),
+        F.lit(","),
+        coord_str("lat100nd", precision),
+        F.lit("]}"),
+    )
+    props = F.coalesce(F.to_json(F.col("tags")), F.lit("{}"))
+    return nodes.select(
+        F.concat(
+            F.lit('{"type":"Feature","id":'),
+            F.col("id").cast("string"),
+            F.lit(',"properties":'),
+            props,
+            F.lit(',"geometry":'),
+            geometry,
+            F.lit("}"),
+        ).alias("line")
+    )
+
+
+def node_wkt(nodes: DataFrame, precision: int = 7) -> DataFrame:
+    return nodes.select(
+        F.concat(
+            F.lit("POINT ("),
+            coord_str("lon100nd", precision),
+            F.lit(" "),
+            coord_str("lat100nd", precision),
+            F.lit(")"),
+        ).alias("wkt")
+    )
+
+
+def way_wkt(
+    ways: DataFrame, nodes: DataFrame, precision: int = 7
+) -> DataFrame:
+    """LINESTRING/POLYGON per way from ordered member coordinates.
+
+    Spark shape: explode node list with position, join node coords,
+    re-sort inside the array (collect_list order is shuffle-dependent —
+    array_sort on (seq, text) restores the span order invariant).
+    """
+    wm = ways.select(
+        "id",
+        F.expr("element_at(node_ids, 1) = element_at(node_ids, -1) "
+               "AND size(node_ids) >= 4").alias("closed"),
+        F.posexplode("node_ids").alias("seq", "node_id"),
+    )
+    coords = nodes.select(
+        F.col("id").alias("node_id"),
+        F.concat(
+            coord_str("lon100nd", precision), F.lit(" "),
+            coord_str("lat100nd", precision),
+        ).alias("pt"),
+    )
+    per_way = (
+        wm.join(coords, "node_id")
+        .groupBy("id", "closed")
+        .agg(F.array_sort(F.collect_list(F.struct("seq", "pt"))).alias("pts"))
+        .withColumn("body", F.array_join(F.expr("transform(pts, p -> p.pt)"), ", "))
+    )
+    return per_way.select(
+        "id",
+        F.when(
+            F.col("closed"), F.concat(F.lit("POLYGON (("), F.col("body"), F.lit("))"))
+        )
+        .otherwise(F.concat(F.lit("LINESTRING ("), F.col("body"), F.lit(")")))
+        .alias("wkt"),
+    )
+
+
+def node_csv(nodes: DataFrame, keys: list[str], precision: int = 7) -> DataFrame:
+    """-k key projection (P4): id,lon,lat + requested tag columns."""
+    cols = [
+        F.col("id"),
+        coord_str("lon100nd", precision).alias("lon"),
+        coord_str("lat100nd", precision).alias("lat"),
+    ] + [F.col("tags").getItem(k).alias(k) for k in keys]
+    return nodes.select(*cols)
+
+
+def node_xml(nodes: DataFrame, precision: int = 7) -> DataFrame:
+    """OSM-XML-style <node> elements (S7 xml sink)."""
+    tag_body = F.expr(
+        "array_join(transform(map_entries(tags), "
+        "e -> concat('<tag k=\"', e.key, '\" v=\"', e.value, '\"/>')), '')"
+    )
+    return nodes.select(
+        F.concat(
+            F.lit('<node id="'), F.col("id").cast("string"),
+            F.lit('" lon="'), coord_str("lon100nd", precision),
+            F.lit('" lat="'), coord_str("lat100nd", precision),
+            F.lit('">'), tag_body, F.lit("</node>"),
+        ).alias("line")
+    )

@@ -1,0 +1,146 @@
+"""GOQL → Catalyst Column translator (P1).
+
+The reference compiles GOQL to a native matcher in libgeodesk (compile
+call site /root/reference/src/gol/QueryCommand.cpp:105, example queries
+/root/reference/test/test_query.py:27-31, negative-clause semantics fix
+/root/reference/doc/releases/v2.2.3.md).  We translate the same grammar
+subset to a single Column expression over (ftype, is_area, tags) —
+Catalyst then folds it into the scan filter.
+
+Grammar:
+    query    := selector (',' selector)*           -- union
+    selector := types clause*                      -- conjunction
+    types    := '*' | [nwar]+
+    clause   := '[' '!' key ']'                    -- key absent
+              | '[' key ']'                        -- key present
+              | '[' key op value ']'
+    op       := '=' | '!=' | '>' | '>=' | '<' | '<='
+    value    := "'...'" | '"..."' | bare (with '*' wildcards for =/!=)
+
+Semantics (matching the reference):
+    n=node, w=linear way, a=area (closed way or area relation),
+    r=non-area relation; [k!=v] matches when k is absent OR differs.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SEL_RE = re.compile(r"^\s*(\*|[nwar]+)")
+_CLAUSE_RE = re.compile(r"\[\s*(!?)\s*([A-Za-z0-9_:]+)\s*(?:(!=|>=|<=|=|>|<)\s*([^\]]*?))?\s*\]")
+
+
+class GoqlError(ValueError):
+    pass
+
+
+def _split_selectors(q: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in q:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _type_col(types: str) -> Column:
+    if types == "*":
+        return F.lit(True)
+    alts = []
+    for t in types:
+        if t == "n":
+            alts.append(F.col("ftype") == 0)
+        elif t == "w":
+            alts.append((F.col("ftype") == 1) & ~F.col("is_area"))
+        elif t == "a":
+            alts.append(F.col("is_area"))
+        elif t == "r":
+            alts.append((F.col("ftype") == 2) & ~F.col("is_area"))
+        else:  # pragma: no cover
+            raise GoqlError(f"bad type letter {t!r}")
+    out = alts[0]
+    for a in alts[1:]:
+        out = out | a
+    return out
+
+
+def _unquote(v: str) -> tuple[str, bool]:
+    v = v.strip()
+    if len(v) >= 2 and v[0] in "'\"" and v[-1] == v[0]:
+        return v[1:-1], True
+    return v, False
+
+
+def _value_clause(key: str, op: str, raw: str) -> Column:
+    tag = F.col("tags").getItem(key)
+    val, quoted = _unquote(raw)
+    if op in ("=", "!="):
+        if not quoted and "*" in val:
+            pat = val.replace("%", r"\%").replace("_", r"\_").replace("*", "%")
+            pos = tag.like(pat)
+        else:
+            pos = tag == F.lit(val)
+        if op == "=":
+            return tag.isNotNull() & pos
+        # negative clause: absent key also matches (v2.2.3.md semantics)
+        return tag.isNull() | ~pos
+    # numeric comparison: non-numeric tag values never match
+    num = tag.try_cast("double")
+    try:
+        fval = float(val)
+    except ValueError as e:
+        raise GoqlError(f"non-numeric comparand in [{key}{op}{raw}]") from e
+    return {
+        ">": num > fval,
+        ">=": num >= fval,
+        "<": num < fval,
+        "<=": num <= fval,
+    }[op]
+
+
+def _selector_col(sel: str) -> Column:
+    m = _SEL_RE.match(sel)
+    if not m:
+        raise GoqlError(f"selector must start with types: {sel!r}")
+    cond = _type_col(m.group(1))
+    rest = sel[m.end():].strip()
+    matched_len = 0
+    for cm in _CLAUSE_RE.finditer(rest):
+        bang, key, op, raw = cm.groups()
+        tag = F.col("tags").getItem(key)
+        if bang:
+            if op:
+                raise GoqlError(f"[!{key}] cannot carry an operator")
+            clause = tag.isNull()
+        elif not op:
+            clause = tag.isNotNull()
+        else:
+            clause = _value_clause(key, op, raw)
+        cond = cond & clause
+        matched_len += len(cm.group(0))
+    if len(re.sub(r"\s", "", rest)) != len(
+        re.sub(r"\s", "", "".join(c.group(0) for c in _CLAUSE_RE.finditer(rest)))
+    ):
+        raise GoqlError(f"unparsed clause text in {sel!r}")
+    return cond
+
+
+def goql_to_column(query: str) -> Column:
+    """Compile a GOQL query to a Column over (ftype, is_area, tags)."""
+    sels = _split_selectors(query)
+    if not sels:
+        raise GoqlError("empty query")
+    out = _selector_col(sels[0])
+    for s in sels[1:]:
+        out = out | _selector_col(s)
+    return out

@@ -1,0 +1,184 @@
+"""Spatial query filters: bbox with tile pruning (P2), polygon (P3), kNN.
+
+Reference anchors:
+- bbox: -b rectangle prunes tiles via the tile-index walk, then residual
+  per-feature tests, with a "turbo" flag for tiles wholly inside the box
+  (src/gol/GolCommand.cpp:100-104, src/gol/query/QueryPrinter.cpp:39-98).
+  Spark shape: driver-side tile-list computation → partition-pruned scan
+  (tile_id IS the partition column of the store) → residual bbox Column.
+- polygon: -a (multi)polygon intersects filter backed by a segment index
+  (src/gol/util/PolygonParser.cpp:9-24).  Spark shape: tile pre-prune by
+  polygon bbox + vectorized numpy ray-casting over Arrow batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from ..config import LEAF_ZOOM, WORLD_BITS
+from ..plans.pyramid import TileCatalog
+
+
+# ---------------------------------------------------------------------------
+# bbox (P2)
+# ---------------------------------------------------------------------------
+
+def tiles_for_bbox(catalog: TileCatalog, minx: int, miny: int, maxx: int, maxy: int):
+    """Driver-side tile pruning: (intersecting_tile_ids, fully_inside_ids).
+
+    The second list carries the reference's "turbo" hint — tiles wholly
+    inside the box skip the residual per-feature test.
+    """
+    hit, turbo = [], []
+    for t in catalog.tiles.itertuples():
+        span = 1 << (WORLD_BITS - int(t.zoom))
+        tx0, ty0 = int(t.col) * span, int(t.row) * span
+        tx1, ty1 = tx0 + span - 1, ty0 + span - 1
+        if tx1 < minx or tx0 > maxx or ty1 < miny or ty0 > maxy:
+            continue
+        hit.append(int(t.tile_id))
+        if tx0 >= minx and tx1 <= maxx and ty0 >= miny and ty1 <= maxy:
+            turbo.append(int(t.tile_id))
+    return hit, turbo
+
+
+def bbox_filter(
+    store: DataFrame, catalog: TileCatalog, minx: int, miny: int, maxx: int, maxy: int
+) -> DataFrame:
+    """Partition-pruned + residual bbox filter over store rows."""
+    hit, turbo = tiles_for_bbox(catalog, minx, miny, maxx, maxy)
+    residual = (
+        (F.col("maxx") >= minx)
+        & (F.col("minx") <= maxx)
+        & (F.col("maxy") >= miny)
+        & (F.col("miny") <= maxy)
+    )
+    turbo_set = set(turbo)
+    cond = F.col("tile_id").isin(hit) & (
+        F.col("tile_id").isin(list(turbo_set)) | residual
+        if turbo_set
+        else residual
+    )
+    return store.filter(cond)
+
+
+# ---------------------------------------------------------------------------
+# polygon (P3) — numpy ray casting, Arrow-batched
+# ---------------------------------------------------------------------------
+
+def point_in_polygon_udf(poly_xy: list[tuple[float, float]]):
+    """Pandas UDF: True where (x, y) falls inside the (closed) polygon.
+
+    Even-odd ray casting, vectorized over the batch per edge — O(edges)
+    numpy passes, no per-row Python.
+    """
+    px = np.array([p[0] for p in poly_xy], dtype=np.float64)
+    py = np.array([p[1] for p in poly_xy], dtype=np.float64)
+    if px[0] != px[-1] or py[0] != py[-1]:
+        px = np.append(px, px[0])
+        py = np.append(py, py[0])
+
+    @F.pandas_udf(BooleanType())
+    def pip(x: pd.Series, y: pd.Series) -> pd.Series:
+        xs = x.to_numpy(dtype=np.float64)
+        ys = y.to_numpy(dtype=np.float64)
+        inside = np.zeros(len(xs), dtype=bool)
+        for i in range(len(px) - 1):
+            x0, y0, x1, y1 = px[i], py[i], px[i + 1], py[i + 1]
+            crosses = ((y0 > ys) != (y1 > ys)) & (
+                xs < (x1 - x0) * (ys - y0) / (y1 - y0) + x0
+            )
+            inside ^= crosses
+        return pd.Series(inside)
+
+    return pip
+
+
+def polygon_filter(store: DataFrame, catalog: TileCatalog, poly_xy) -> DataFrame:
+    """Tile pre-prune by polygon bbox, then exact PIP on feature centers."""
+    minx = int(min(p[0] for p in poly_xy))
+    maxx = int(max(p[0] for p in poly_xy))
+    miny = int(min(p[1] for p in poly_xy))
+    maxy = int(max(p[1] for p in poly_xy))
+    pruned = bbox_filter(store, catalog, minx, miny, maxx, maxy)
+    pip = point_in_polygon_udf(poly_xy)
+    return pruned.filter(pip(F.col("cx"), F.col("cy")))
+
+
+# ---------------------------------------------------------------------------
+# kNN (north-rule extension; FIXTURES.md §5)
+# ---------------------------------------------------------------------------
+
+def knn_bruteforce(
+    points: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact kNN: broadcast the (small) query set, rank by squared
+    integer distance with deterministic (dist, id) tiebreak.
+
+    points:  (id, x, y);  queries: (q_id, qx, qy)
+    Output: (q_id, neighbor_id, rank)
+    """
+    from pyspark.sql import Window
+
+    j = points.join(F.broadcast(queries))
+    d = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
+        F.col("y") - F.col("qy")
+    ) * (F.col("y") - F.col("qy"))
+    w = Window.partitionBy("q_id").orderBy(F.col("dist"), F.col("id"))
+    return (
+        j.withColumn("dist", d)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("id").alias("neighbor_id"), "rank", "dist")
+    )
+
+
+def knn_cell_rings(
+    points: DataFrame, queries: DataFrame, k: int = 5, ring: int = 2
+) -> DataFrame:
+    """Scale path: candidate generation by cell-neighbor rings, exact
+    re-rank, automatic fallback to brute force for starved queries.
+
+    Candidates = points whose zoom-12 cell is within ``ring`` cells of the
+    query's cell (a (2r+1)² broadcast explode — the cell-neighbor-ring
+    join of the north rule).  Queries with < k candidates fall back to the
+    brute-force path so results are always exact.
+    """
+    from pyspark.sql import Window
+
+    cell = 1 << (WORLD_BITS - LEAF_ZOOM)
+    offs = [(dc, dr) for dc in range(-ring, ring + 1) for dr in range(-ring, ring + 1)]
+    off_df = queries.sparkSession.createDataFrame(offs, "dc int, dr int")
+    qcells = (
+        queries.withColumn("qc", F.floor(F.col("qx") / cell).cast("int"))
+        .withColumn("qr", F.floor(F.col("qy") / cell).cast("int"))
+        .join(F.broadcast(off_df))
+        .select("q_id", "qx", "qy", (F.col("qc") + F.col("dc")).alias("cc"),
+                (F.col("qr") + F.col("dr")).alias("cr"))
+    )
+    pts = points.withColumn("cc", F.floor(F.col("x") / cell).cast("int")).withColumn(
+        "cr", F.floor(F.col("y") / cell).cast("int")
+    )
+    cand = pts.join(F.broadcast(qcells), ["cc", "cr"])
+    d = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
+        F.col("y") - F.col("qy")
+    ) * (F.col("y") - F.col("qy"))
+    w = Window.partitionBy("q_id").orderBy(F.col("dist"), F.col("id"))
+    ranked = (
+        cand.withColumn("dist", d)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("id").alias("neighbor_id"), "rank", "dist")
+    )
+    # starving queries (< k candidates in the ring) fall back to brute force
+    counts = ranked.groupBy("q_id").agg(F.max("rank").alias("got"))
+    starved = counts.filter(F.col("got") < k).select("q_id")
+    full = ranked.join(starved, "q_id", "left_anti")
+    if starved.isEmpty():
+        return full
+    fb = knn_bruteforce(points, queries.join(starved, "q_id", "left_semi"), k)
+    return full.unionByName(fb)

@@ -391,6 +391,27 @@ def corner_cell_expr(colz: str, zstar: str = "zstar") -> str:
     return f"CASE {cases} END"
 
 
+def coord_str_expr(v100nd: str, precision: int = 7) -> str:
+    """Exact decimal rendering of a 100-nanodegree int coordinate.
+
+    Pure integer/string ops (sign, integer part, left-padded fraction) so
+    Spark and DuckDB produce byte-identical text — no float formatting.
+    Fixed ``precision`` digits, trailing zeros kept (our spec of the
+    reference's -p option, src/gol/QueryCommand.cpp:218-222).
+    """
+    scale = 10 ** (7 - precision)
+    a = f"abs({v100nd})"
+    ip = f"CAST(floor({a} / 10000000.0) AS BIGINT)"
+    fr = f"CAST(floor(({a} % 10000000) / {scale}.0) AS BIGINT)"
+    sign = f"CASE WHEN {v100nd} < 0 THEN '-' ELSE '' END"
+    if precision == 0:
+        return f"concat({sign}, CAST({ip} AS STRING))"
+    return (
+        f"concat({sign}, CAST({ip} AS STRING), '.', "
+        f"lpad(CAST({fr} AS STRING), {precision}, '0'))"
+    )
+
+
 def home_tiles_ctes(ext_cte: str, prefix: str = "w") -> str:
     """CTEs mapping an extent CTE (id, minc, minr, maxc, maxr) to home
     tiles (id, tile_id, twin).  Requires pyramid_ctes() in scope.

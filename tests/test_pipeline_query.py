@@ -1,0 +1,184 @@
+"""End-to-end build pipeline + GOQL query layer + format consistency.
+
+Mirrors the reference's own test protocol (test/test_query.py:33-63):
+count == GeoJSONL line count == WKT count == ID-list line count; empty
+queries are structurally valid; invalid queries raise.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from geodesk_gol_spark.config import BuildSettings
+from geodesk_gol_spark.plans.pipeline import build_gol
+from geodesk_gol_spark.query import formats
+from geodesk_gol_spark.query.goql import GoqlError, goql_to_column
+from geodesk_gol_spark.query.spatial import (
+    bbox_filter,
+    knn_bruteforce,
+    knn_cell_rings,
+    point_in_polygon_udf,
+    polygon_filter,
+)
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("gol_build"))
+    res = build_gol(spark, SF_DIR, out, BuildSettings.for_fixture(50))
+    store = spark.read.parquet(res.store_path()).persist()
+    store.count()
+    return res, store
+
+
+def test_resume_skips_stages(spark, built):
+    res, _ = built
+    import time
+
+    t0 = time.time()
+    res2 = build_gol(spark, SF_DIR, res.out_dir, BuildSettings.for_fixture(50))
+    # resumed build does only the metrics pass
+    stages = {m["stage"] for m in res2.metrics}
+    assert stages == {"metrics"}
+    assert time.time() - t0 < 60
+
+
+def test_store_is_tile_partitioned(built):
+    res, store = built
+    assert "tile_id" in store.columns
+    # physical layout: one directory per tile (partition pruning works)
+    dirs = [d for d in os.listdir(res.store_path()) if d.startswith("tile_id=")]
+    assert len(dirs) == len(res.catalog.tiles)
+
+
+def test_metrics_recorded(built):
+    res, _ = built
+    m = {x["stage"]: x for x in res.metrics}
+    assert m["metrics"]["total_rows"] > 0 and m["metrics"]["tiles"] > 1
+
+
+@pytest.mark.parametrize(
+    "q,expect_nonempty",
+    [
+        ("*", True),
+        ("w[highway][name=A*]", True),
+        ("a[boundary=administrative]", True),
+        ("n[amenity=cafe]", True),
+        ("a[leisure=park][name='This park does not exist!']", False),
+        ("n[amenity!=cafe]", True),
+        ("w[!highway]", True),
+    ],
+)
+def test_goql_queries(built, q, expect_nonempty):
+    _, store = built
+    homes = store.filter(~F.col("is_ghost"))
+    n = homes.filter(goql_to_column(q)).select("typed_id").distinct().count()
+    assert (n > 0) == expect_nonempty
+
+
+def test_goql_negative_clause_semantics(built):
+    """[k!=v] matches features missing k (reference v2.2.3 semantics)."""
+    _, store = built
+    homes = store.filter(~F.col("is_ghost") & (F.col("ftype") == 0)).dropDuplicates(
+        ["typed_id"]
+    )
+    n_all = homes.count()
+    n_eq = homes.filter(goql_to_column("n[amenity=cafe]")).count()
+    n_ne = homes.filter(goql_to_column("n[amenity!=cafe]")).count()
+    assert n_eq + n_ne == n_all
+
+
+def test_goql_errors():
+    for bad in ["", "x[foo]", "n[name>abc]", "n[!k=v]"]:
+        with pytest.raises(GoqlError):
+            goql_to_column(bad)
+
+
+def test_cross_format_consistency(built, spark):
+    """count == geojsonl lines == wkt rows == id-list lines (node query)."""
+    _, store = built
+    sel = store.filter(
+        (F.col("ftype") == 0) & ~F.col("is_ghost") & goql_to_column("n[amenity=cafe]")
+    ).dropDuplicates(["typed_id"]).persist()
+    n = formats.count_result(sel)
+    assert n > 0
+    assert formats.node_geojsonl(sel).count() == n
+    assert formats.node_wkt(sel).count() == n
+    assert formats.id_list(sel).count() == n
+    # GeoJSON lines parse back and carry exact 7-digit coords
+    import json
+
+    line = formats.node_geojsonl(sel).limit(1).collect()[0]["line"]
+    obj = json.loads(line)
+    assert obj["type"] == "Feature" and "coordinates" in obj["geometry"]
+
+
+def test_empty_query_valid(built):
+    _, store = built
+    sel = store.filter(
+        goql_to_column("a[leisure=park][name='This park does not exist!']")
+    )
+    assert formats.count_result(sel) == 0
+    assert formats.node_geojsonl(sel.filter(F.col("ftype") == 0)).count() == 0
+
+
+def test_bbox_filter_matches_bruteforce(built):
+    """Distinct non-ghost features from the pruned scan == brute force.
+
+    Row-level equality is NOT expected: a pair-assigned feature has two
+    home rows and only the intersecting twin is visited — but every
+    feature whose bbox intersects the box has at least one home tile
+    intersecting it (the pair covers the extent), so the feature *set*
+    matches."""
+    res, store = built
+    homes = store.filter(~F.col("is_ghost"))
+    b = (1115000000, 630000000, 1125000000, 645000000)  # inside dense cluster
+    got = bbox_filter(homes, res.catalog, *b).select("typed_id").distinct()
+    brute = (
+        homes.filter(
+            (F.col("maxx") >= b[0]) & (F.col("minx") <= b[2])
+            & (F.col("maxy") >= b[1]) & (F.col("miny") <= b[3])
+        )
+        .select("typed_id")
+        .distinct()
+    )
+    assert got.count() > 0
+    assert got.exceptAll(brute).count() == 0
+    assert brute.exceptAll(got).count() == 0
+
+
+def test_polygon_filter_convex(built, spark):
+    res, store = built
+    nodes = store.filter(F.col("ftype") == 0)
+    xs = [r[0] for r in nodes.select("cx").limit(1000).collect()]
+    ys = [r[0] for r in nodes.select("cy").limit(1000).collect()]
+    cx, cy = sum(xs) // len(xs), sum(ys) // len(ys)
+    r = 40000000
+    poly = [(cx - r, cy - r), (cx + r, cy - r), (cx + r, cy + r), (cx - r, cy + r)]
+    got = polygon_filter(nodes, res.catalog, poly).select("typed_id")
+    brute = nodes.filter(
+        (F.col("cx") > cx - r) & (F.col("cx") < cx + r)
+        & (F.col("cy") > cy - r) & (F.col("cy") < cy + r)
+    ).select("typed_id")
+    # ray casting on an axis-aligned box == open-interval membership
+    assert got.exceptAll(brute).count() == 0
+    assert brute.exceptAll(got).count() == 0
+
+
+def test_knn_rings_equals_bruteforce(built, spark):
+    _, store = built
+    pts = store.filter(F.col("ftype") == 0).select(
+        "id", F.col("cx").alias("x"), F.col("cy").alias("y")
+    ).dropDuplicates(["id"]).persist()
+    qs = pts.orderBy("id").limit(8).select(
+        F.col("id").alias("q_id"), F.col("x").alias("qx"), F.col("y").alias("qy")
+    )
+    bf = knn_bruteforce(pts, qs, k=5).select("q_id", "neighbor_id", "rank")
+    rings = knn_cell_rings(pts, qs, k=5, ring=2).select("q_id", "neighbor_id", "rank")
+    assert bf.exceptAll(rings).count() == 0
+    assert rings.exceptAll(bf).count() == 0
