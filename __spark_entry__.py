@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship build + spatial-join pipeline at
+sf0.001.  ``queries()`` exposes one DataFrame program per implemented
+operator (SURVEY.md §2 ids in the names); ``oracle_sql()`` carries the
+equivalent DuckDB SQL over the same parquet tables.  Engine-side
+implementations live in :mod:`geodesk_gol_spark`; both sides share the
+deterministic SQL fragments in :mod:`geodesk_gol_spark.sqlgen` so results
+match bit-for-bit (see sqlgen's docstring for the cross-engine IEEE
+determinism rules).
 """
 
 from __future__ import annotations
@@ -12,27 +15,686 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geodesk_gol_spark import sqlgen
+from geodesk_gol_spark.gate import DENSITY, base_tables, ctx
+
+# ---------------------------------------------------------------------------
+# oracle SQL building blocks
+# ---------------------------------------------------------------------------
+
+
+def _prefix(*, cell_tile=False, wext=False, whomes=False, rext=False,
+            rhomes=False) -> str:
+    parts = [
+        f"nodes AS ({sqlgen.nodes_select()})",
+        sqlgen.pyramid_ctes("nodes", DENSITY),
+    ]
+    if cell_tile:
+        parts.append(sqlgen.cell_tile_cte())
+    if wext or whomes or rext or rhomes:
+        parts.append(sqlgen.way_extent_cte())
+    if whomes or rhomes:
+        parts.append(sqlgen.home_tiles_ctes("wext", "w"))
+    if rext or rhomes:
+        parts.append(sqlgen.relation_extent_ctes())
+    if rhomes:
+        parts.append(sqlgen.home_tiles_ctes("rext", "r"))
+    return "WITH " + ",\n".join(parts) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# engine queries (one per operator)
+# ---------------------------------------------------------------------------
+
+
+def _q_s1_parse_nodes(spark, sf):
+    c = ctx(spark, sf)
+    return c["feats"]["nodes"].selectExpr(
+        "id", "lon100nd", "lat100nd",
+        "tags['highway'] AS highway", "tags['name'] AS name",
+        "tags['amenity'] AS amenity",
+    )
+
+
+def _q_s2_span_sequence(spark, sf):
+    c = ctx(spark, sf)
+    return c["docs"].select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.md5(
+            F.array_join(
+                F.expr("transform(spans, s -> concat(s.kind, coalesce(s.media_ref, '')))"),
+                "|",
+            )
+        ).alias("digest"),
+    )
+
+
+def _q_f1_projection(spark, sf):
+    c = ctx(spark, sf)
+    return c["proj"].select("id", "x", "y", "cell_col", "cell_row")
+
+
+def _q_a1_cell_counts(spark, sf):
+    c = ctx(spark, sf)
+    return c["proj"].groupBy("cell_col", "cell_row").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _q_a4_tile_pyramid(spark, sf):
+    c = ctx(spark, sf)
+    return c["catalog"].df(spark).select("zoom", "col", "row", "node_count")
+
+
+def _q_a5_top_tiles(spark, sf):
+    c = ctx(spark, sf)
+    return (
+        c["catalog"].df(spark)
+        .orderBy(F.desc("node_count"), F.asc("tile_id"))
+        .limit(10)
+        .select("tile_id", "node_count")
+    )
+
+
+def _q_a3_osm_stats(spark, sf):
+    c = ctx(spark, sf)
+    f = c["feats"]
+    return (
+        f["nodes"].select(F.lit("node").alias("kind"), "id")
+        .unionByName(f["ways"].select(F.lit("way").alias("kind"), "id"))
+        .unionByName(f["relations"].select(F.lit("relation").alias("kind"), "id"))
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("id").alias("max_id"))
+    )
+
+
+def _q_j1_node_tiles(spark, sf):
+    c = ctx(spark, sf)
+    return c["assignment"]["node_tiles"].select("typed_id", "tile_id")
+
+
+def _q_j3_way_homes(spark, sf):
+    c = ctx(spark, sf)
+    return c["assignment"]["way_homes"].select("typed_id", "tile_id", "twin")
+
+
+def _q_j4_way_ghosts(spark, sf):
+    c = ctx(spark, sf)
+    return c["assignment"]["way_ghosts"].select("typed_id", "tile_id")
+
+
+def _q_j5_relation_homes(spark, sf):
+    c = ctx(spark, sf)
+    return c["assignment"]["rel_homes"].select("typed_id", "tile_id", "twin")
+
+
+def _q_j6_relation_levels(spark, sf):
+    c = ctx(spark, sf)
+    return (
+        c["assignment"]["rel_homes"]
+        .select(F.shiftright("typed_id", 2).alias("id"), "level")
+        .distinct()
+    )
+
+
+def _q_a6_way_bbox(spark, sf):
+    c = ctx(spark, sf)
+    return c["assignment"]["extents"].filter(F.col("typed_id") % 4 == 1).select(
+        F.col("id").alias("way_id"), "minx", "miny", "maxx", "maxy"
+    )
+
+
+def _q_a9_duplicate_nodes(spark, sf):
+    from geodesk_gol_spark.operators.validate import duplicate_location_nodes
+
+    c = ctx(spark, sf)
+    return duplicate_location_nodes(c["points"]).select("typed_id")
+
+
+def _q_a9_orphan_nodes(spark, sf):
+    from geodesk_gol_spark.operators.validate import orphan_nodes
+
+    c = ctx(spark, sf)
+    return orphan_nodes(
+        c["feats"]["nodes"], c["feats"]["ways"], c["feats"]["relations"]
+    ).select("typed_id")
+
+
+def _q_j7_exports(spark, sf):
+    c = ctx(spark, sf)
+    return c["exports"].select("tile_id", "tex", "typed_id")
+
+
+def _q_o4_tile_order(spark, sf):
+    from pyspark.sql import Window
+
+    c = ctx(spark, sf)
+    w = Window.partitionBy("tile_id").orderBy("ftype", "id")
+    return (
+        c["store"].filter(~F.col("is_ghost"))
+        .dropDuplicates(["tile_id", "typed_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("tile_id", "rn", "typed_id")
+    )
+
+
+def _q_p1_goql_highway_names(spark, sf):
+    from geodesk_gol_spark.query.goql import goql_to_column
+
+    c = ctx(spark, sf)
+    return (
+        c["store"].filter(~F.col("is_ghost") & goql_to_column("w[highway][name=A*]"))
+        .select("typed_id").distinct()
+    )
+
+
+def _q_p1_goql_union(spark, sf):
+    from geodesk_gol_spark.query.goql import goql_to_column
+
+    c = ctx(spark, sf)
+    return (
+        c["store"]
+        .filter(
+            ~F.col("is_ghost")
+            & goql_to_column("n[amenity=cafe], a[boundary=administrative]")
+        )
+        .select("typed_id").distinct()
+    )
+
+
+# bbox for P2/P3: center of the dense cluster in world coords
+_BB = (1116000000, 638000000, 1126000000, 648000000)
+
+
+def _q_p2_bbox_query(spark, sf):
+    from geodesk_gol_spark.query.spatial import bbox_filter
+
+    c = ctx(spark, sf)
+    homes = c["store"].filter(~F.col("is_ghost"))
+    return bbox_filter(homes, c["catalog"], *_BB).select("typed_id").distinct()
+
+
+_DIAMOND_C = (1120000000, 636000000)
+_DIAMOND_R = 2500000
+
+
+def _q_p3_polygon_query(spark, sf):
+    from geodesk_gol_spark.query.spatial import polygon_filter
+
+    c = ctx(spark, sf)
+    cx, cy = _DIAMOND_C
+    r = _DIAMOND_R + 0.5
+    poly = [(cx - r, cy), (cx, cy - r), (cx + r, cy), (cx, cy + r)]
+    nodes = c["store"].filter((F.col("ftype") == 0) & ~F.col("is_ghost"))
+    return (
+        polygon_filter(nodes, c["catalog"], poly).select("typed_id").distinct()
+    )
+
+
+def _q_f7_area_ways(spark, sf):
+    from geodesk_gol_spark.functions.areas import way_is_area
+
+    c = ctx(spark, sf)
+    return c["feats"]["ways"].select(
+        F.col("id").alias("way_id"), way_is_area().alias("is_area")
+    )
+
+
+def _q_f8_closed_rings(spark, sf):
+    from geodesk_gol_spark.functions.areas import closed_ring
+
+    c = ctx(spark, sf)
+    return c["feats"]["ways"].select(
+        F.col("id").alias("way_id"), closed_ring().alias("closed")
+    )
+
+
+def _q_f9_geojson_cafes(spark, sf):
+    c = ctx(spark, sf)
+    nodes = c["feats"]["nodes"].filter(F.col("tags")["amenity"] == "cafe").selectExpr(
+        "id", "lon100nd", "lat100nd",
+        "tags['highway'] AS highway", "tags['name'] AS name",
+        "tags['amenity'] AS amenity",
+    )
+    return nodes.selectExpr("id", f"{_GEOJSON_EXPR} AS line")
+
+
+def _q_f10_precision(spark, sf):
+    c = ctx(spark, sf)
+    return c["feats"]["nodes"].filter(F.col("id") % 100 == 0).selectExpr(
+        "id",
+        f"{sqlgen.coord_str_expr('lon100nd', 3)} AS lon3",
+        f"{sqlgen.coord_str_expr('lat100nd', 3)} AS lat3",
+    )
+
+
+def _knn_queries_df(c):
+    return (
+        c["points"].filter(F.col("id") % 499 == 0)
+        .select(F.col("id").alias("q_id"), F.col("x").alias("qx"),
+                F.col("y").alias("qy"))
+    )
+
+
+def _q_knn_brute(spark, sf):
+    from geodesk_gol_spark.query.spatial import knn_bruteforce
+
+    c = ctx(spark, sf)
+    pts = c["points"].select("id", "x", "y")
+    return knn_bruteforce(pts, _knn_queries_df(c), k=5)
+
+
+def _q_knn_rings(spark, sf):
+    from geodesk_gol_spark.query.spatial import knn_cell_rings
+
+    c = ctx(spark, sf)
+    pts = c["points"].select("id", "x", "y")
+    return knn_cell_rings(pts, _knn_queries_df(c), k=5, ring=2)
+
+
+def _q_raster_vector_join(spark, sf):
+    c = ctx(spark, sf)
+    media_nodes = c["feats"]["media"].select(
+        F.expr("CAST(substr(media_ref, 8) AS BIGINT)").alias("id")
+    )
+    node_tiles = c["assignment"]["node_tiles"].select("id", "tile_id")
+    media_per_tile = media_nodes.join(node_tiles, "id").groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n_media")
+    )
+    feats_per_tile = node_tiles.groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    return feats_per_tile.join(media_per_tile, "tile_id", "left").select(
+        "tile_id", "n_nodes", F.coalesce("n_media", F.lit(0)).alias("n_media")
+    )
+
+
+# shared GeoJSON text (same SQL runs in both engines; props JSON built
+# key-by-key so no engine-specific map→json serialization is involved)
+_PROPS_JSON = (
+    "concat('{', concat_ws(',', "
+    "CASE WHEN highway IS NOT NULL THEN concat('\"highway\":\"', highway, '\"') END, "
+    "CASE WHEN name IS NOT NULL THEN concat('\"name\":\"', name, '\"') END, "
+    "CASE WHEN amenity IS NOT NULL THEN concat('\"amenity\":\"', amenity, '\"') END"
+    "), '}')"
+)
+_GEOJSON_EXPR = (
+    "concat('{\"type\":\"Feature\",\"id\":', CAST(id AS STRING), "
+    "',\"properties\":', " + _PROPS_JSON + ", "
+    "',\"geometry\":{\"type\":\"Point\",\"coordinates\":[', "
+    + sqlgen.coord_str_expr("lon100nd", 7)
+    + ", ',', "
+    + sqlgen.coord_str_expr("lat100nd", 7)
+    + ", ']}}')"
+)
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full build + spatial join at sf0.001 — every feature's
+    home-tile assignment joined with the pyramid catalog."""
+    sf = "/root/testdata/sf0.001"
+    c = ctx(spark, sf)
+    cat = c["catalog"].df(spark).select("tile_id", "zoom", "node_count")
+    return (
+        c["assignment"]["feature_tiles"]
+        .join(F.broadcast(cat), "tile_id")
+        .select("typed_id", "tile_id", "is_ghost", "twin", "zoom", "node_count")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q = {
+        "s1_parse_nodes": _q_s1_parse_nodes,
+        "s2_span_sequence": _q_s2_span_sequence,
+        "f1_projection": _q_f1_projection,
+        "a1_cell_counts": _q_a1_cell_counts,
+        "a3_osm_stats": _q_a3_osm_stats,
+        "a4_tile_pyramid": _q_a4_tile_pyramid,
+        "a5_top_tiles": _q_a5_top_tiles,
+        "j1_node_tiles": _q_j1_node_tiles,
+        "j3_way_homes": _q_j3_way_homes,
+        "j4_way_ghosts": _q_j4_way_ghosts,
+        "j5_relation_homes": _q_j5_relation_homes,
+        "j6_relation_levels": _q_j6_relation_levels,
+        "a6_way_bbox": _q_a6_way_bbox,
+        "a9_duplicate_nodes": _q_a9_duplicate_nodes,
+        "a9_orphan_nodes": _q_a9_orphan_nodes,
+        "j7_exports": _q_j7_exports,
+        "o4_tile_order": _q_o4_tile_order,
+        "p1_goql_highway_names": _q_p1_goql_highway_names,
+        "p1_goql_union": _q_p1_goql_union,
+        "p2_bbox_query": _q_p2_bbox_query,
+        "p3_polygon_query": _q_p3_polygon_query,
+        "f7_area_ways": _q_f7_area_ways,
+        "f8_closed_rings": _q_f8_closed_rings,
+        "f9_geojson_cafes": _q_f9_geojson_cafes,
+        "f10_precision": _q_f10_precision,
+        "knn_brute": _q_knn_brute,
+        "knn_rings": _q_knn_rings,
+        "raster_vector_join": _q_raster_vector_join,
+    }
+    from geodesk_gol_spark.gate_ml import ml_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q.update(ml_queries())
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o = {
+        "s1_parse_nodes": (
+            f"SELECT id, lon100nd, lat100nd, highway, name, amenity "
+            f"FROM ({sqlgen.nodes_select()})"
+        ),
+        "s2_span_sequence": _ORACLE_SPAN_SEQUENCE,
+        "f1_projection": (
+            f"SELECT id, x, y, cell_col, cell_row FROM ({sqlgen.nodes_select()})"
+        ),
+        "a1_cell_counts": (
+            f"SELECT cell_col, cell_row, count(*) AS n "
+            f"FROM ({sqlgen.nodes_select()}) GROUP BY cell_col, cell_row"
+        ),
+        "a3_osm_stats": f"""
+            SELECT kind, count(*) AS n, max(id) AS max_id FROM (
+              SELECT 'node' AS kind, id FROM ({sqlgen.nodes_select()})
+              UNION ALL SELECT 'way', id FROM ({sqlgen.ways_select()})
+              UNION ALL SELECT 'relation', id FROM ({sqlgen.relations_select()})
+              UNION ALL SELECT 'relation', {sqlgen.NATION_REL_BASE} + n_nationkey
+                FROM nation
+              UNION ALL SELECT 'relation', {sqlgen.REGION_REL_BASE} + r_regionkey
+                FROM region
+            ) GROUP BY kind
+        """,
+        "a4_tile_pyramid": _prefix() + (
+            "SELECT 12 AS zoom, c AS col, r AS row, cnt AS node_count FROM s12 "
+            "UNION ALL SELECT 9, c, r, cnt FROM s9 "
+            "UNION ALL SELECT 6, c, r, cnt FROM s6 "
+            "UNION ALL SELECT 3, c, r, cnt FROM s3 "
+            "UNION ALL SELECT 0, c, r, cnt FROM s0"
+        ),
+        "a5_top_tiles": _prefix() + f"""
+            SELECT {sqlgen.tile_id_expr('zoom', 'col', 'row')} AS tile_id,
+                   node_count
+            FROM (
+              SELECT 12 AS zoom, c AS col, r AS row, cnt AS node_count FROM s12
+              UNION ALL SELECT 9, c, r, cnt FROM s9
+              UNION ALL SELECT 6, c, r, cnt FROM s6
+              UNION ALL SELECT 3, c, r, cnt FROM s3
+              UNION ALL SELECT 0, c, r, cnt FROM s0
+            ) ORDER BY node_count DESC, tile_id ASC LIMIT 10
+        """,
+        "j1_node_tiles": _prefix(cell_tile=True) + (
+            "SELECT n.id * 4 AS typed_id, ct.tile_id AS tile_id FROM nodes n "
+            "JOIN cell_tile ct ON ct.c = n.cell_col AND ct.r = n.cell_row"
+        ),
+        "j3_way_homes": _prefix(whomes=True) + (
+            "SELECT id * 4 + 1 AS typed_id, tile_id, twin FROM w_homes"
+        ),
+        "j4_way_ghosts": _prefix(cell_tile=True, whomes=True) + f"""
+            SELECT DISTINCT wm.way_id * 4 + 1 AS typed_id, ct.tile_id AS tile_id
+            FROM ({sqlgen.way_members_select()}) wm
+            JOIN nodes n ON n.id = wm.node_id
+            JOIN cell_tile ct ON ct.c = n.cell_col AND ct.r = n.cell_row
+            WHERE NOT EXISTS (
+              SELECT 1 FROM w_homes h
+              WHERE h.id = wm.way_id AND h.tile_id = ct.tile_id)
+        """,
+        "j5_relation_homes": _prefix(rhomes=True) + (
+            "SELECT id * 4 + 2 AS typed_id, tile_id, twin FROM r_homes"
+        ),
+        "j6_relation_levels": _prefix(rext=True) + (
+            "SELECT id, level FROM rext"
+        ),
+        "a6_way_bbox": f"""
+            WITH nodes AS ({sqlgen.nodes_select()})
+            SELECT wm.way_id AS way_id,
+                   min(n.x) AS minx, min(n.y) AS miny,
+                   max(n.x) AS maxx, max(n.y) AS maxy
+            FROM ({sqlgen.way_members_select()}) wm
+            JOIN nodes n ON n.id = wm.node_id
+            GROUP BY wm.way_id
+        """,
+        "a9_duplicate_nodes": f"""
+            WITH nodes AS ({sqlgen.nodes_select()})
+            SELECT id * 4 AS typed_id FROM (
+              SELECT id, count(*) OVER (PARTITION BY x, y) AS c FROM nodes
+            ) WHERE c > 1
+        """,
+        "a9_orphan_nodes": f"""
+            WITH nodes AS ({sqlgen.nodes_select()})
+            SELECT n.id * 4 AS typed_id
+            FROM nodes n
+            WHERE n.highway IS NULL AND n.name IS NULL AND n.amenity IS NULL
+              AND NOT EXISTS (
+                SELECT 1 FROM ({sqlgen.way_members_select()}) wm
+                WHERE wm.node_id = n.id)
+        """,
+        "j7_exports": _ORACLE_EXPORTS,
+        "o4_tile_order": _ORACLE_O4,
+        "p1_goql_highway_names": f"""
+            SELECT id * 4 + 1 AS typed_id FROM ({sqlgen.ways_select()})
+            WHERE highway IS NOT NULL AND name LIKE 'A%'
+              AND NOT (closed AND building IS NOT NULL)
+        """,
+        "p1_goql_union": f"""
+            SELECT id * 4 AS typed_id FROM ({sqlgen.nodes_select()})
+            WHERE amenity = 'cafe'
+            UNION
+            SELECT id * 4 + 2 FROM ({sqlgen.relations_select()})
+            WHERE boundary = 'administrative'
+        """,
+        "p2_bbox_query": _ORACLE_P2,
+        "p3_polygon_query": f"""
+            WITH nodes AS ({sqlgen.nodes_select()})
+            SELECT id * 4 AS typed_id FROM nodes
+            WHERE abs(x - {_DIAMOND_C[0]}) + abs(y - {_DIAMOND_C[1]})
+                  <= {_DIAMOND_R}
+        """,
+        "f7_area_ways": f"""
+            SELECT id AS way_id,
+                   (closed AND building IS NOT NULL) AS is_area
+            FROM ({sqlgen.ways_select()})
+        """,
+        "f8_closed_rings": f"""
+            SELECT id AS way_id, closed FROM ({sqlgen.ways_select()})
+        """,
+        "f9_geojson_cafes": f"""
+            SELECT id, {_GEOJSON_EXPR} AS line
+            FROM ({sqlgen.nodes_select()}) WHERE amenity = 'cafe'
+        """,
+        "f10_precision": f"""
+            SELECT id, {sqlgen.coord_str_expr('lon100nd', 3)} AS lon3,
+                   {sqlgen.coord_str_expr('lat100nd', 3)} AS lat3
+            FROM ({sqlgen.nodes_select()}) WHERE id % 100 = 0
+        """,
+        "knn_brute": _ORACLE_KNN,
+        "knn_rings": _ORACLE_KNN,
+        "raster_vector_join": _ORACLE_RASTER,
+    }
+    from geodesk_gol_spark.gate_ml import ml_oracle_sql
+
+    o.update(ml_oracle_sql())
+    return o
+
+
+# --- long oracle texts ------------------------------------------------------
+
+_ORACLE_SPAN_SEQUENCE = f"""
+WITH nodes AS ({sqlgen.nodes_select()}),
+ways AS ({sqlgen.ways_select()}),
+qcust AS (
+  SELECT c.c_custkey, c.c_nationkey FROM customer c
+  WHERE EXISTS (SELECT 1 FROM ways w JOIN orders o ON o.o_orderkey = w.id
+                WHERE o.o_custkey = c.c_custkey)
+),
+spans AS (
+  -- order docs: leading text span
+  SELECT concat('doc-', CAST(o_orderkey AS STRING)) AS doc_id,
+         CAST(0 AS BIGINT) AS seq, 'text' AS kind, NULL AS media_ref
+  FROM orders
+  UNION ALL
+  -- node spans (seq 2*linenumber)
+  SELECT concat('doc-', CAST(orderkey AS STRING)), linenumber * 2, 'node', NULL
+  FROM nodes
+  UNION ALL
+  -- media spans precede every 5th node
+  SELECT concat('doc-', CAST(orderkey AS STRING)), linenumber * 2 - 1, 'media',
+         concat('blob://', CAST(id AS STRING))
+  FROM nodes WHERE {sqlgen.h_expr('id', 2654435761)} % 5 = 0
+  UNION ALL
+  SELECT concat('doc-', CAST(id AS STRING)), 1000000, 'way', NULL FROM ways
+  UNION ALL
+  -- customer/nation docs exist only when a qualifying way chain exists
+  SELECT concat('cust-', CAST(c_custkey AS STRING)), 0, 'text', NULL FROM qcust
+  UNION ALL
+  SELECT concat('cust-', CAST(c_custkey AS STRING)), 1, 'relation', NULL FROM qcust
+  UNION ALL
+  SELECT concat('nat-', CAST(n_nationkey AS STRING)), 0, 'relation', NULL
+  FROM nation WHERE EXISTS (
+    SELECT 1 FROM qcust WHERE qcust.c_nationkey = nation.n_nationkey)
+  UNION ALL
+  SELECT concat('reg-', CAST(r_regionkey AS STRING)), 0, 'relation', NULL
+  FROM region
+)
+SELECT doc_id, count(*) AS n_spans,
+       md5(string_agg(concat(kind, coalesce(media_ref, '')), '|' ORDER BY seq))
+         AS digest
+FROM spans GROUP BY doc_id
+"""
+
+_ORACLE_EXPORTS = (
+    _prefix(cell_tile=True, whomes=True, rhomes=True)
+    + f""",
+node_tiles AS (
+  SELECT n.id * 4 AS typed_id, ct.tile_id
+  FROM nodes n JOIN cell_tile ct ON ct.c = n.cell_col AND ct.r = n.cell_row
+),
+member_homes AS (
+  SELECT typed_id, tile_id FROM node_tiles
+  UNION ALL SELECT id * 4 + 1, tile_id FROM w_homes
+  UNION ALL SELECT id * 4 + 2, tile_id FROM r_homes
+),
+ref_homes AS (
+  SELECT id * 4 + 1 AS ref_typed, tile_id FROM w_homes
+  UNION ALL SELECT id * 4 + 2, tile_id FROM r_homes
+),
+edges AS (
+  SELECT way_id * 4 + 1 AS ref_typed, node_id * 4 AS m_typed
+  FROM ({sqlgen.way_members_select()})
+  UNION ALL
+  SELECT rel_id * 4 + 2, member_id * 4 + member_type
+  FROM ({sqlgen.relation_members_select()})
+  UNION ALL
+  SELECT rel_id * 4 + 2, member_id * 4 + member_type
+  FROM ({sqlgen.super_relation_members_select()})
+),
+foreign_refs AS (
+  SELECT DISTINCT mh.tile_id AS tile_id, e.m_typed AS typed_id
+  FROM edges e
+  JOIN member_homes mh ON mh.typed_id = e.m_typed
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ref_homes rh
+    WHERE rh.ref_typed = e.ref_typed AND rh.tile_id = mh.tile_id)
+)
+SELECT tile_id, typed_id,
+       CAST(row_number() OVER (PARTITION BY tile_id ORDER BY typed_id) - 1
+            AS INT) AS tex
+FROM foreign_refs
+"""
+)
+
+_ORACLE_O4 = (
+    _prefix(cell_tile=True, whomes=True, rhomes=True)
+    + """,
+feature_tiles AS (
+  SELECT n.id * 4 AS typed_id, ct.tile_id
+  FROM nodes n JOIN cell_tile ct ON ct.c = n.cell_col AND ct.r = n.cell_row
+  UNION ALL SELECT id * 4 + 1, tile_id FROM w_homes
+  UNION ALL SELECT id * 4 + 2, tile_id FROM r_homes
+)
+SELECT tile_id, rn, typed_id FROM (
+  SELECT tile_id, typed_id,
+         CAST(row_number() OVER (
+           PARTITION BY tile_id
+           ORDER BY typed_id % 4, CAST(floor(typed_id / 4.0) AS BIGINT)
+         ) AS INT) AS rn
+  FROM feature_tiles
+) WHERE rn <= 5
+"""
+)
+
+_ORACLE_P2 = f"""
+WITH nodes AS ({sqlgen.nodes_select()}),
+wm AS ({sqlgen.way_members_select()}),
+-- transitive node sets per relation level (customer ⊂ nation ⊂ region)
+rel_nodes AS (
+  SELECT cr.rel_id AS rel_id, n.x AS x, n.y AS y
+  FROM ({sqlgen.relation_members_select()}) cr
+  JOIN wm ON wm.way_id = cr.member_id
+  JOIN nodes n ON n.id = wm.node_id
+  UNION ALL
+  SELECT {sqlgen.NATION_REL_BASE} + c.c_nationkey, n.x, n.y
+  FROM ({sqlgen.relation_members_select()}) cr
+  JOIN customer c ON c.c_custkey = cr.rel_id - {sqlgen.CUST_REL_BASE}
+  JOIN wm ON wm.way_id = cr.member_id
+  JOIN nodes n ON n.id = wm.node_id
+  UNION ALL
+  SELECT {sqlgen.REGION_REL_BASE} + na.n_regionkey, n.x, n.y
+  FROM ({sqlgen.relation_members_select()}) cr
+  JOIN customer c ON c.c_custkey = cr.rel_id - {sqlgen.CUST_REL_BASE}
+  JOIN nation na ON na.n_nationkey = c.c_nationkey
+  JOIN wm ON wm.way_id = cr.member_id
+  JOIN nodes n ON n.id = wm.node_id
+),
+boxes AS (
+  SELECT id * 4 AS typed_id, x AS minx, y AS miny, x AS maxx, y AS maxy
+  FROM nodes
+  UNION ALL
+  SELECT w.way_id * 4 + 1, min(n.x), min(n.y), max(n.x), max(n.y)
+  FROM wm w JOIN nodes n ON n.id = w.node_id GROUP BY w.way_id
+  UNION ALL
+  SELECT rel_id * 4 + 2, min(x), min(y), max(x), max(y)
+  FROM rel_nodes GROUP BY rel_id
+)
+SELECT DISTINCT typed_id FROM boxes
+WHERE maxx >= {_BB[0]} AND minx <= {_BB[2]}
+  AND maxy >= {_BB[1]} AND miny <= {_BB[3]}
+"""
+
+_ORACLE_KNN = f"""
+WITH nodes AS ({sqlgen.nodes_select()}),
+qs AS (SELECT id AS q_id, x AS qx, y AS qy FROM nodes WHERE id % 499 = 0)
+SELECT q_id, neighbor_id, rank, dist FROM (
+  SELECT qs.q_id AS q_id, n.id AS neighbor_id,
+         (n.x - qs.qx) * (n.x - qs.qx) + (n.y - qs.qy) * (n.y - qs.qy) AS dist,
+         CAST(row_number() OVER (
+           PARTITION BY qs.q_id
+           ORDER BY (n.x - qs.qx) * (n.x - qs.qx)
+                  + (n.y - qs.qy) * (n.y - qs.qy), n.id) AS INT) AS rank
+  FROM nodes n, qs
+) WHERE rank <= 5
+"""
+
+_ORACLE_RASTER = (
+    _prefix(cell_tile=True)
+    + f""",
+node_tiles AS (
+  SELECT n.id AS id, ct.tile_id, {sqlgen.H1.replace(sqlgen.NODE_ID, '(n.id)')} AS h1
+  FROM nodes n JOIN cell_tile ct ON ct.c = n.cell_col AND ct.r = n.cell_row
+)
+SELECT t.tile_id, t.n_nodes, coalesce(m.n_media, 0) AS n_media FROM
+  (SELECT tile_id, count(*) AS n_nodes FROM node_tiles GROUP BY tile_id) t
+LEFT JOIN
+  (SELECT tile_id, count(*) AS n_media FROM node_tiles
+   WHERE h1 % 5 = 0 GROUP BY tile_id) m
+ON m.tile_id = t.tile_id
+"""
+)

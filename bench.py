@@ -1,0 +1,211 @@
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline pipeline + queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "features_per_sec": ...}
+
+Scaling mode (north rule evidence): ``python bench.py --scaling`` runs the
+identical build+query job at two parallelism levels (local[N] and
+local[4N]) on the same input and reports throughput at both plus
+efficiency = (thr_4N / thr_N) / 4, appending to BENCH_SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def _sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def run_pipeline(spark, sf_dir: str, out_dir: str, replicate: int = 1) -> dict[str, float]:
+    """The headline job: docs → features → pyramid → assignment → store
+    → GOQL/bbox query + kNN.  Returns per-stage seconds + row counts."""
+    from pyspark.sql import functions as F
+
+    from geodesk_gol_spark.config import BuildSettings
+    from geodesk_gol_spark.functions.mercator import with_projection
+    from geodesk_gol_spark.operators.assign import assign_features
+    from geodesk_gol_spark.operators.compile_tiles import (
+        compile_feature_rows,
+        write_store,
+    )
+    from geodesk_gol_spark.plans.pyramid import build_tile_catalog
+    from geodesk_gol_spark.query.goql import goql_to_column
+    from geodesk_gol_spark.query.spatial import bbox_filter, knn_cell_rings
+    from geodesk_gol_spark.sources.parser import parse_features
+    from geodesk_gol_spark.sources.synth import synth_docs
+
+    t: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    t0 = time.time()
+    docs = synth_docs(spark, sf_dir, replicate).persist()
+    counts["docs"] = docs.count()
+    t["q_synth_docs"] = time.time() - t0
+
+    t0 = time.time()
+    feats = {k: v.persist() for k, v in parse_features(docs).items()}
+    counts["nodes"] = feats["nodes"].count()
+    counts["ways"] = feats["ways"].count()
+    counts["relations"] = feats["relations"].count()
+    t["q_parse"] = time.time() - t0
+
+    t0 = time.time()
+    proj = with_projection(feats["nodes"]).persist()
+    catalog = build_tile_catalog(proj, BuildSettings.for_fixture(500))
+    t["q_pyramid"] = time.time() - t0
+    counts["tiles"] = len(catalog.tiles)
+
+    t0 = time.time()
+    asn = assign_features(feats, catalog)
+    ft = asn["feature_tiles"].persist()
+    counts["feature_tiles"] = ft.count()
+    t["q_assign"] = time.time() - t0
+
+    t0 = time.time()
+    rows = compile_feature_rows(
+        ft, asn["points"], asn["extents"],
+        feats["nodes"], feats["ways"], feats["relations"],
+    ).persist()
+    rows.count()
+    t["q_compile"] = time.time() - t0
+
+    t0 = time.time()
+    write_store(rows, os.path.join(out_dir, "store"))
+    t["q_store_write"] = time.time() - t0
+
+    store = spark.read.parquet(os.path.join(out_dir, "store"))
+    t0 = time.time()
+    q = store.filter(~F.col("is_ghost") & goql_to_column("w[highway][name=A*]"))
+    counts["goql_bbox"] = (
+        bbox_filter(q, catalog, 1100000000, 600000000, 1200000000, 700000000)
+        .select("typed_id").distinct().count()
+    )
+    t["q_goql_bbox"] = time.time() - t0
+
+    t0 = time.time()
+    pts = asn["points"].select("id", "x", "y")
+    qs = pts.filter(F.col("id") % 499 == 0).select(
+        F.col("id").alias("q_id"), F.col("x").alias("qx"), F.col("y").alias("qy")
+    )
+    counts["knn"] = knn_cell_rings(pts, qs, k=5, ring=2).count()
+    t["q_knn"] = time.time() - t0
+
+    t["_counts"] = counts  # type: ignore[assignment]
+    return t
+
+
+def run_ml(spark, sf_dir: str) -> dict[str, float]:
+    from geodesk_gol_spark.gate_ml import (
+        sql_ann_cosine_topk,
+        sql_dedup_minhash,
+        sql_window_agg,
+    )
+
+    t = {}
+    for name, tbl, sql_fn in [
+        ("q_dedup_minhash", "documents", sql_dedup_minhash),
+        ("q_ann_topk", "embeddings", sql_ann_cosine_topk),
+        ("q_window_agg", "events", sql_window_agg),
+    ]:
+        spark.read.parquet(f"{sf_dir}/{tbl}.parquet").createOrReplaceTempView(
+            f"bench_{tbl}"
+        )
+        t0 = time.time()
+        spark.sql(sql_fn(f"bench_{tbl}", "spark")).count()
+        t[name] = time.time() - t0
+    return t
+
+
+def one_run(master: str, sf_dir: str, shuffle_partitions: int, replicate: int = 1) -> dict:
+    from geodesk_gol_spark.session import get_spark
+
+    out_dir = f"/tmp/gol_bench_{os.getpid()}_{master.replace('[', '_').rstrip(']')}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    spark = get_spark(master, app_name="gol-bench",
+                      shuffle_partitions=shuffle_partitions)
+    try:
+        t_all0 = time.time()
+        t = run_pipeline(spark, sf_dir, out_dir, replicate)
+        counts = t.pop("_counts")
+        t.update(run_ml(spark, sf_dir))
+        total = time.time() - t_all0
+        n_features = counts["feature_tiles"]
+        return {
+            "total_sec": round(total, 2),
+            "queries": {k: round(v, 2) for k, v in t.items()},
+            "counts": counts,
+            "features_per_sec": round(n_features / max(total, 1e-9), 1),
+        }
+    finally:
+        spark.stop()
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = _sf_dir()
+    cpus = _cpus()
+    if "--scaling" in sys.argv:
+        lo = max(2, cpus // 4)
+        # scaling evidence runs in the compute-bound regime (large inputs
+        # are the modeled reality; stage overhead at sf0.1 otherwise
+        # dominates and measures the scheduler, not the engine)
+        rep = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "8"))
+        runs = {}
+        for n in (lo, cpus):
+            runs[n] = one_run(f"local[{n}]", sf_dir, max(8, 2 * n), rep)
+        thr_lo = runs[lo]["features_per_sec"]
+        thr_hi = runs[cpus]["features_per_sec"]
+        eff = (thr_hi / thr_lo) / (cpus / lo)
+        report = {
+            "sf_dir": sf_dir,
+            "replicate": rep,
+            "n_small": lo,
+            "n_large": cpus,
+            "throughput_small_fps": thr_lo,
+            "throughput_large_fps": thr_hi,
+            "scaling_efficiency": round(eff, 3),
+            "runs": runs,
+        }
+        with open("BENCH_SCALING.md", "a") as f:
+            f.write(
+                f"\n## scaling run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
+                f"- input: `{sf_dir}` ×{rep} replication (identical for both runs)\n"
+                f"- local[{lo}]: {thr_lo} features-tiled+joined/sec "
+                f"(total {runs[lo]['total_sec']}s)\n"
+                f"- local[{cpus}]: {thr_hi} features-tiled+joined/sec "
+                f"(total {runs[cpus]['total_sec']}s)\n"
+                f"- **scaling efficiency ({lo}→{cpus} threads): "
+                f"{report['scaling_efficiency']}**\n"
+            )
+        print(json.dumps(report))
+        return
+
+    res = one_run(f"local[{cpus}]", sf_dir, max(8, cpus))
+    out = {
+        "metric": "gol build pipeline (synth→parse→pyramid→assign→store→query) "
+        "+ training-data ops",
+        "value": res["total_sec"],
+        "unit": "sec",
+        "queries": res["queries"],
+        "sf": sf_dir,
+        "features_per_sec": res["features_per_sec"],
+        "counts": res["counts"],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

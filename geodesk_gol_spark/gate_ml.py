@@ -1,0 +1,426 @@
+"""Training-data operators over documents/embeddings/events + their oracles.
+
+Large-scale pipeline operators the north rule adds beyond the reference CLI:
+exact/near dedup (MinHash-LSH, SimHash, n-gram Jaccard), ANN over
+embeddings (brute cosine + LSH buckets), text analysis (lang-id, quality,
+tokens, fingerprints), multimodal decode stubs, change-feed merge, and
+windowed aggregation.
+
+Engine and oracle run the *same* SQL text wherever the dialects agree;
+where they diverge (hex→int, list folds, array indexing, lateral
+sequences) a tiny per-dialect emitter keeps the arithmetic identical:
+every comparison-relevant value is integer-exact or a single correctly
+rounded IEEE op (see sqlgen docstring).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# dialect helpers
+# ---------------------------------------------------------------------------
+
+def hex2int(expr: str, d: str) -> str:
+    """First 12 hex chars of md5 → BIGINT (identical values both engines).
+
+    48 bits on purpose: < 2^53, so even if a downstream expression routes
+    the value through DOUBLE (Spark parses `1.0` as DOUBLE, DuckDB as
+    DECIMAL — different exactness!), no precision is lost in either
+    engine."""
+    if d == "spark":
+        return f"CAST(conv(substr(md5({expr}), 1, 12), 16, 10) AS BIGINT)"
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 12)) AS BIGINT)"
+
+
+def split_ws(expr: str, d: str) -> str:
+    return f"split({expr}, ' ')" if d == "spark" else f"string_split({expr}, ' ')"
+
+
+def arr_get(arr: str, i1: int, d: str) -> str:
+    """1-based element access."""
+    return f"{arr}[{i1 - 1}]" if d == "spark" else f"{arr}[{i1}]"
+
+
+def fold_words(codes_list: str, d: str) -> str:
+    """((acc*31 + code) % 1000000007) left fold with 0 init."""
+    if d == "spark":
+        return (
+            f"aggregate({codes_list}, CAST(0 AS BIGINT), "
+            f"(a, x) -> (a * 31 + x) % 1000000007)"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {codes_list}), "
+        f"(a, x) -> (a * 31 + x) % 1000000007)"
+    )
+
+
+def list_map(lst: str, lam: str, d: str) -> str:
+    return f"transform({lst}, {lam})" if d == "spark" else f"list_transform({lst}, {lam})"
+
+
+def list_filter(lst: str, lam: str, d: str) -> str:
+    return f"filter({lst}, {lam})" if d == "spark" else f"list_filter({lst}, {lam})"
+
+
+def list_len(lst: str, d: str) -> str:
+    return f"size({lst})" if d == "spark" else f"len({lst})"
+
+
+# lateral index generator: one row per shingle start position (1-based)
+def shingles_from(table: str, d: str, k: int = 3) -> str:
+    ws = split_ws("text", d)
+    if d == "spark":
+        return f"""
+        SELECT doc_id, concat_ws(' ', slice(ws, i, {k})) AS sh
+        FROM (SELECT doc_id, {ws} AS ws FROM {table})
+        LATERAL VIEW explode(sequence(1, size(ws) - {k - 1})) t AS i
+        WHERE size(ws) >= {k}
+        """
+    return f"""
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws) - {k - 2}),
+                                 i -> array_to_string(ws[i:i+{k - 1}], ' '))) AS sh
+    FROM (SELECT doc_id, {ws} AS ws FROM {table})
+    WHERE len(ws) >= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SQL templates (dialect-parameterized)
+# ---------------------------------------------------------------------------
+
+def sql_dedup_exact(t: str, d: str) -> str:
+    return f"""
+    SELECT md5(substr(text, 1, 40)) AS grp, count(*) AS n_docs,
+           min(doc_id) AS min_doc
+    FROM {t} GROUP BY 1 HAVING count(*) > 1
+    """
+
+
+def sql_dedup_ngram_jaccard(t: str, d: str, cap: int = 50) -> str:
+    return f"""
+    WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({shingles_from(t, d)})),
+    common AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {cap}),
+    sh2 AS (SELECT s.doc_id, s.sh FROM sh s JOIN common c ON c.sh = s.sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.da AS doc_a, p.db AS doc_b, p.c AS n_common,
+           sa.n AS n_a, sb.n AS n_b
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.da
+    JOIN sizes sb ON sb.doc_id = p.db
+    WHERE p.c * 2 >= sa.n + sb.n - p.c
+    """
+
+
+def sql_dedup_minhash(t: str, d: str, n_hash: int = 8, cap: int = 50) -> str:
+    seeds = " UNION ALL ".join(f"SELECT {i} AS seed" for i in range(n_hash))
+    h = hex2int("concat(CAST(seed AS STRING), ':', sh)", d)
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat(CAST(mh{2*b} AS STRING), '_', "
+        f"CAST(mh{2*b+1} AS STRING)) AS key FROM sigs"
+        for b in range(n_hash // 2)
+    )
+    sig_cols = ", ".join(
+        f"max(CASE WHEN seed = {i} THEN mh END) AS mh{i}" for i in range(n_hash)
+    )
+    return f"""
+    WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({shingles_from(t, d)})),
+    common AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {cap}),
+    sh2 AS (SELECT s.doc_id, s.sh FROM sh s JOIN common c ON c.sh = s.sh),
+    mh AS (
+      SELECT doc_id, seed, min({h}) AS mh
+      FROM sh2, ({seeds})
+      GROUP BY doc_id, seed
+    ),
+    sigs AS (SELECT doc_id, {sig_cols} FROM mh GROUP BY doc_id),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+    verified AS (
+      SELECT c.da, c.db, count(*) AS com
+      FROM cand c
+      JOIN sh2 a ON a.doc_id = c.da
+      JOIN sh2 b ON b.doc_id = c.db AND b.sh = a.sh
+      GROUP BY c.da, c.db
+    )
+    SELECT v.da AS doc_a, v.db AS doc_b, v.com AS n_common
+    FROM verified v
+    JOIN sizes sa ON sa.doc_id = v.da
+    JOIN sizes sb ON sb.doc_id = v.db
+    WHERE v.com * 2 >= sa.n + sb.n - v.com
+    """
+
+
+def sql_dedup_simhash(t: str, d: str, bits: int = 32) -> str:
+    h = hex2int("w", d)
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN CAST(floor(h / {1 << b}.0) AS BIGINT) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) > 0 THEN CAST({1 << b} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    if d == "spark":
+        words = f"SELECT doc_id, explode(array_distinct({split_ws('text', d)})) AS w FROM {t}"
+    else:
+        words = f"SELECT doc_id, unnest(list_distinct({split_ws('text', d)})) AS w FROM {t}"
+    return f"""
+    WITH words AS ({words}),
+    wh AS (SELECT doc_id, {h} AS h FROM words)
+    SELECT doc_id, {bit_terms} AS simhash
+    FROM wh GROUP BY doc_id
+    """
+
+
+def sql_text_langid(t: str, d: str) -> str:
+    return f"""
+    SELECT doc_id, lang,
+      CASE
+        WHEN concat(' ', text, ' ') LIKE '% the %' THEN 'en'
+        WHEN concat(' ', text, ' ') LIKE '% data %' THEN 'datalang'
+        WHEN concat(' ', text, ' ') LIKE '% spark %' THEN 'sparklang'
+        ELSE 'other'
+      END AS lang_pred
+    FROM {t}
+    """
+
+
+def sql_text_quality(t: str, d: str) -> str:
+    ws = split_ws("text", d)
+    stops = list_len(list_filter("ws", "w -> w = 'the' OR w = 'a'", d), d)
+    return f"""
+    SELECT doc_id, n_chars, {list_len('ws', d)} AS n_tokens,
+           {stops} AS n_stopwords,
+           CAST(floor({stops} * 1000 / {list_len('ws', d)}) AS BIGINT)
+             AS stop_ratio_milli
+    FROM (SELECT doc_id, n_chars, {ws} AS ws FROM {t})
+    """
+
+
+def sql_text_tokens_by_lang(t: str, d: str) -> str:
+    ws = split_ws("text", d)
+    return f"""
+    SELECT lang, count(*) AS n_docs, sum({list_len('ws', d)}) AS total_tokens,
+           max({list_len('ws', d)}) AS max_tokens
+    FROM (SELECT lang, {ws} AS ws FROM {t}) GROUP BY lang
+    """
+
+
+def sql_text_fingerprint(t: str, d: str) -> str:
+    ws = split_ws("text", d)
+    codes = list_map(
+        "ws", "w -> CAST(length(w) * 31 + ascii(substr(w, 1, 1)) AS BIGINT)", d
+    )
+    return f"""
+    SELECT doc_id, {fold_words(codes, d)} AS fingerprint
+    FROM (SELECT doc_id, {ws} AS ws FROM {t})
+    """
+
+
+def _dot(a: str, b: str, d: str, dim: int = 64) -> str:
+    terms = [
+        f"CAST({arr_get(a, i, d)} AS DOUBLE) * CAST({arr_get(b, i, d)} AS DOUBLE)"
+        for i in range(1, dim + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def sql_ann_cosine_topk(t: str, d: str, k: int = 5, n_q: int = 4) -> str:
+    dot = _dot("e.embedding", "q.embedding", d)
+    nb = _dot("e.embedding", "e.embedding", d)
+    return f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding FROM {t} WHERE vec_id < {n_q}),
+    scored AS (
+      SELECT q.q_id AS q_id, e.vec_id AS neighbor_id,
+             {dot} / sqrt({nb}) AS score
+      FROM {t} e, q
+    )
+    SELECT q_id, neighbor_id, rank FROM (
+      SELECT q_id, neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def sql_ann_lsh_buckets(t: str, d: str, n_planes: int = 8, base: int = 100) -> str:
+    cols = []
+    for j in range(n_planes):
+        dot = _dot("e.embedding", f"p{j}.embedding", d)
+        cols.append(
+            f"(CASE WHEN {dot} > 0 THEN CAST({1 << j} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    planes = ", ".join(
+        f"(SELECT embedding FROM {t} WHERE vec_id = {base + j}) p{j}"
+        for j in range(n_planes)
+    )
+    return f"""
+    SELECT e.vec_id AS vec_id, {' + '.join(cols)} AS bucket
+    FROM {t} e, {planes}
+    """
+
+
+def sql_media_decode(t: str, d: str) -> str:
+    """Oracle for the decode stub: dims derived from the md5 hex of the ref."""
+    return f"""
+    SELECT media_ref, 16 AS n_bytes,
+           1 + (ascii(substr(md5(media_ref), 1, 1)) * 7) % 640 AS width,
+           1 + (ascii(substr(md5(media_ref), 2, 1)) * 5) % 480 AS height
+    FROM (SELECT DISTINCT media_ref FROM {t})
+    """
+
+
+def sql_change_merge(events: str, lineitem: str, d: str) -> str:
+    nid = "(l_orderkey * 8 + l_linenumber)"
+    return f"""
+    WITH changes AS (
+      SELECT event_id, ts, event_type,
+             (user_id % 1500) * 8 + 1 + (event_id % 7) AS target
+      FROM {events}
+    ),
+    latest AS (
+      SELECT target, event_type FROM (
+        SELECT target, event_type,
+               row_number() OVER (PARTITION BY target
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM changes
+      ) WHERE rn = 1
+    ),
+    nodes AS (SELECT {nid} AS id FROM {lineitem})
+    SELECT n.id AS id,
+           CASE WHEN l.event_type IS NULL THEN 'unchanged'
+                WHEN l.event_type = 'purchase' THEN 'deleted'
+                ELSE l.event_type END AS state
+    FROM nodes n LEFT JOIN latest l ON l.target = n.id
+    WHERE l.event_type IS NOT NULL
+    """
+
+
+def sql_window_agg(events: str, d: str) -> str:
+    if d == "spark":
+        bucket = "CAST(floor(unix_timestamp(ts) / 300) * 300 AS BIGINT)"
+    else:
+        bucket = "CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)"
+    return f"""
+    SELECT {bucket} AS window_start, event_type,
+           count(*) AS n,
+           sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_milli
+    FROM {events}
+    GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# engine-side callables
+# ---------------------------------------------------------------------------
+
+def _view(spark: SparkSession, sf_dir: str, name: str) -> str:
+    vname = f"gate_{name}"
+    spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(vname)
+    return vname
+
+
+def _sql_query(template: Callable[[str, str], str], table: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        v = _view(spark, sf_dir, table)
+        return spark.sql(template(v, "spark"))
+
+    return run
+
+
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode stub (real Arrow plumbing, fake decoder).
+
+    Media assets are opaque binary blobs (synthesized as unhex(md5(ref)));
+    the "decoder" is a mapInPandas stage with a real schema and batch
+    shape — the image/audio libraries are stubbed with deterministic
+    arithmetic on the bytes (container lacks codecs; see SURVEY §2.9).
+    """
+    import pandas as pd
+
+    from .gate import ctx
+
+    c = ctx(spark, sf_dir)
+    assets = (
+        c["feats"]["media"].select("media_ref").distinct()
+        .withColumn("blob", F.unhex(F.md5("media_ref")))
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            hexs = pdf["blob"].map(lambda b: bytes(b).hex())
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "n_bytes": pdf["blob"].map(len),
+                    "width": 1 + (hexs.str[0].map(ord) * 7) % 640,
+                    "height": 1 + (hexs.str[1].map(ord) * 5) % 480,
+                }
+            )
+
+    return assets.mapInPandas(
+        decode, "media_ref string, n_bytes int, width int, height int"
+    )
+
+
+def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "dedup_exact": _sql_query(sql_dedup_exact, "documents"),
+        "dedup_ngram_jaccard": _sql_query(sql_dedup_ngram_jaccard, "documents"),
+        "dedup_minhash_lsh": _sql_query(sql_dedup_minhash, "documents"),
+        "dedup_simhash": _sql_query(sql_dedup_simhash, "documents"),
+        "text_langid": _sql_query(sql_text_langid, "documents"),
+        "text_quality": _sql_query(sql_text_quality, "documents"),
+        "text_tokens_by_lang": _sql_query(sql_text_tokens_by_lang, "documents"),
+        "text_fingerprint": _sql_query(sql_text_fingerprint, "documents"),
+        "ann_cosine_topk": _sql_query(sql_ann_cosine_topk, "embeddings"),
+        "ann_lsh_buckets": _sql_query(sql_ann_lsh_buckets, "embeddings"),
+        "media_decode_stub": _q_media_decode,
+        "s8_change_merge": lambda spark, sf: spark.sql(
+            sql_change_merge(_view(spark, sf, "events"), _view(spark, sf, "lineitem"),
+                             "spark")
+        ),
+        "streaming_window_agg": lambda spark, sf: spark.sql(
+            sql_window_agg(_view(spark, sf, "events"), "spark")
+        ),
+    }
+
+
+def ml_oracle_sql() -> dict[str, str]:
+    from .gate import DENSITY  # noqa: F401  (imported for parity of constants)
+    from . import sqlgen
+
+    media_src = f"""
+    (SELECT concat('blob://', CAST({sqlgen.NODE_ID} AS STRING)) AS media_ref
+     FROM lineitem WHERE {sqlgen.H1} % 5 = 0)
+    """
+    return {
+        "dedup_exact": sql_dedup_exact("documents", "duck"),
+        "dedup_ngram_jaccard": sql_dedup_ngram_jaccard("documents", "duck"),
+        "dedup_minhash_lsh": sql_dedup_minhash("documents", "duck"),
+        "dedup_simhash": sql_dedup_simhash("documents", "duck"),
+        "text_langid": sql_text_langid("documents", "duck"),
+        "text_quality": sql_text_quality("documents", "duck"),
+        "text_tokens_by_lang": sql_text_tokens_by_lang("documents", "duck"),
+        "text_fingerprint": sql_text_fingerprint("documents", "duck"),
+        "ann_cosine_topk": sql_ann_cosine_topk("embeddings", "duck"),
+        "ann_lsh_buckets": sql_ann_lsh_buckets("embeddings", "duck"),
+        "media_decode_stub": sql_media_decode(media_src, "duck"),
+        "s8_change_merge": sql_change_merge("events", "lineitem", "duck"),
+        "streaming_window_agg": sql_window_agg("events", "duck"),
+    }

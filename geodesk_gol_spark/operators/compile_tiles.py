@@ -61,40 +61,36 @@ def compile_feature_rows(
     Output: tile_id, typed_id, ftype, id, is_ghost, twin, tags,
             minx..maxy bbox, cx, cy, hilbert, doc_id, span_seq.
     """
-    geom = points.select(
-        "typed_id",
-        F.col("x").alias("minx"), F.col("y").alias("miny"),
-        F.col("x").alias("maxx"), F.col("y").alias("maxy"),
-    ).unionByName(extents.select("typed_id", "minx", "miny", "maxx", "maxy"))
+    from ..functions.areas import relation_is_area, way_is_area
+
+    # one descriptor frame per feature (payload + geom + area flag merged
+    # per-type BEFORE the big join — 1 shuffle join with feature_tiles
+    # instead of 3)
+    from ..functions.mercator import with_projection
 
     nulli = F.lit(None).cast("int")
-    payload = (
-        nodes.select(
-            (F.col("id") * 4).alias("typed_id"), "tags", "doc_id", "span_seq",
-            "lon100nd", "lat100nd",
-        )
-        .unionByName(
-            ways.select(
-                (F.col("id") * 4 + 1).alias("typed_id"), "tags", "doc_id", "span_seq",
-                nulli.alias("lon100nd"), nulli.alias("lat100nd"),
-            )
-        )
-        .unionByName(
-            relations.select(
-                (F.col("id") * 4 + 2).alias("typed_id"), "tags", "doc_id", "span_seq",
-                nulli.alias("lon100nd"), nulli.alias("lat100nd"),
-            )
-        )
-    )
+    # nodes: projection is a narrow transform — no join needed
+    node_desc = with_projection(nodes).select(
+        (F.col("id") * 4).alias("typed_id"), "tags", "doc_id", "span_seq",
+        "lon100nd", "lat100nd",
+        F.col("x").alias("minx"), F.col("y").alias("miny"),
+        F.col("x").alias("maxx"), F.col("y").alias("maxy"),
+    ).withColumn("is_area", F.lit(False))
+    ext_by_id = extents.select("typed_id", "minx", "miny", "maxx", "maxy")
+    way_desc = ways.select(
+        (F.col("id") * 4 + 1).alias("typed_id"), "tags", "doc_id", "span_seq",
+        nulli.alias("lon100nd"), nulli.alias("lat100nd"),
+        way_is_area().alias("is_area"),
+    ).join(ext_by_id, "typed_id")
+    rel_desc = relations.select(
+        (F.col("id") * 4 + 2).alias("typed_id"), "tags", "doc_id", "span_seq",
+        nulli.alias("lon100nd"), nulli.alias("lat100nd"),
+        relation_is_area().alias("is_area"),
+    ).join(ext_by_id, "typed_id")
+    desc = node_desc.unionByName(way_desc).unionByName(rel_desc)
 
-    from ..functions.areas import area_flags
-
-    areas = area_flags(ways, relations)
     rows = (
-        feature_tiles.join(geom, "typed_id")
-        .join(payload, "typed_id")
-        .join(areas, "typed_id", "left")
-        .withColumn("is_area", F.coalesce(F.col("is_area"), F.lit(False)))
+        feature_tiles.join(desc, "typed_id")
         .withColumn("ftype", (F.col("typed_id") % 4).cast("tinyint"))
         .withColumn("id", F.shiftright("typed_id", 2))
         .withColumn(

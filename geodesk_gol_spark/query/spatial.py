@@ -138,19 +138,30 @@ def knn_bruteforce(
 
 
 def knn_cell_rings(
-    points: DataFrame, queries: DataFrame, k: int = 5, ring: int = 2
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    ring: int = 2,
+    cell_bits: int = 15,
 ) -> DataFrame:
     """Scale path: candidate generation by cell-neighbor rings, exact
-    re-rank, automatic fallback to brute force for starved queries.
+    re-rank, provably exact via a distance-bound fallback.
 
-    Candidates = points whose zoom-12 cell is within ``ring`` cells of the
-    query's cell (a (2r+1)² broadcast explode — the cell-neighbor-ring
-    join of the north rule).  Queries with < k candidates fall back to the
-    brute-force path so results are always exact.
+    Candidates = points whose candidate-grid cell (edge ``2^cell_bits``
+    world units — much finer than the pyramid's zoom-12 cells, so dense
+    clusters don't explode the candidate set) is within ``ring`` cells of
+    the query's cell: a (2r+1)² broadcast explode — the cell-neighbor-ring
+    join of the north rule.
+
+    Exactness guarantee: any point outside the ring block is at distance
+    > (ring-1)*cell from the query, so a query's ring result is final iff
+    it found k candidates AND its k-th distance ≤ ((ring-1)*cell)².
+    All other queries fall back to the brute-force path.
     """
     from pyspark.sql import Window
 
-    cell = 1 << (WORLD_BITS - LEAF_ZOOM)
+    cell = 1 << cell_bits
+    safe_sq = ((ring - 1) * cell) ** 2
     offs = [(dc, dr) for dc in range(-ring, ring + 1) for dr in range(-ring, ring + 1)]
     off_df = queries.sparkSession.createDataFrame(offs, "dc int, dr int")
     qcells = (
@@ -173,12 +184,18 @@ def knn_cell_rings(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", F.col("id").alias("neighbor_id"), "rank", "dist")
+        .persist()
     )
-    # starving queries (< k candidates in the ring) fall back to brute force
-    counts = ranked.groupBy("q_id").agg(F.max("rank").alias("got"))
-    starved = counts.filter(F.col("got") < k).select("q_id")
-    full = ranked.join(starved, "q_id", "left_anti")
-    if starved.isEmpty():
+    # final iff k candidates found AND k-th distance within the safe bound
+    sure = (
+        ranked.groupBy("q_id")
+        .agg(F.max("rank").alias("got"), F.max("dist").alias("kth"))
+        .filter((F.col("got") == k) & (F.col("kth") <= safe_sq))
+        .select("q_id")
+    )
+    full = ranked.join(sure, "q_id", "left_semi")
+    unsure_qs = queries.join(sure, "q_id", "left_anti")
+    if unsure_qs.isEmpty():
         return full
-    fb = knn_bruteforce(points, queries.join(starved, "q_id", "left_semi"), k)
+    fb = knn_bruteforce(points, unsure_qs, k)
     return full.unionByName(fb)

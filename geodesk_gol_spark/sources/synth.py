@@ -43,13 +43,40 @@ SPAN_SCHEMA = (
 )
 
 
-def load_base(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+REPLICATE_OFFSET = 1 << 24  # orderkey stride per replica
+
+
+def load_base(
+    spark: SparkSession, sf_dir: str, replicate: int = 1
+) -> dict[str, DataFrame]:
+    """Load base tables; ``replicate > 1`` deterministically clones the
+    order/lineitem fact tables with offset keys (used by bench --scaling
+    to reach the compute-bound regime that models 100 TB inputs; the
+    correctness gate always runs replicate=1)."""
     names = ["lineitem", "orders", "customer", "nation", "region"]
-    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+    base = {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+    if replicate > 1:
+        reps = spark.range(replicate).select(
+            (F.col("id") * REPLICATE_OFFSET).alias("_off")
+        )
+        base["lineitem"] = base["lineitem"].crossJoin(F.broadcast(reps)).withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.col("_off")
+        ).drop("_off")
+        base["orders"] = base["orders"].crossJoin(F.broadcast(reps)).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.col("_off")
+        ).drop("_off")
+    return base
 
 
 def _node_payload_cols(df: DataFrame) -> DataFrame:
-    """lineitem → node feature columns via the shared deterministic exprs."""
+    """lineitem → node feature columns via the shared deterministic exprs.
+
+    (orderkey, linenumber) pairs are NOT unique in the generated lineitem
+    table — dedupe first so node ids are unique (matches sqlgen's
+    SELECT DISTINCT)."""
+    df = df.select("l_orderkey", "l_linenumber").dropDuplicates(
+        ["l_orderkey", "l_linenumber"]
+    )
     return df.selectExpr(
         f"{sqlgen.NODE_ID} AS id",
         f"{sqlgen.LON100ND} AS lon",
@@ -68,9 +95,11 @@ def _tags_expr(*cols: str):
     return F.expr(f"map_filter(map({pairs}), (k, v) -> v IS NOT NULL)")
 
 
-def synth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_docs(
+    spark: SparkSession, sf_dir: str, replicate: int = 1
+) -> DataFrame:
     """Build the interleaved-document table (doc_id, spans)."""
-    base = load_base(spark, sf_dir)
+    base = load_base(spark, sf_dir, replicate)
     li, orders = base["lineitem"], base["orders"]
     customer, nation, region = base["customer"], base["nation"], base["region"]
 

