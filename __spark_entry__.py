@@ -296,6 +296,27 @@ def _q_knn_rings(spark, sf):
     return knn_cell_rings(pts, _knn_queries_df(c), k=5, ring=2)
 
 
+def _q_a2_string_freq(spark, sf):
+    from geodesk_gol_spark.operators.strings import global_string_table
+
+    c = ctx(spark, sf)
+    return global_string_table(
+        [c["feats"]["nodes"], c["feats"]["ways"], c["feats"]["relations"]],
+        min_usage=100,
+    )
+
+
+def _q_f11_template(spark, sf):
+    from geodesk_gol_spark.query.map import template_col
+
+    c = ctx(spark, sf)
+    return (
+        c["feats"]["nodes"]
+        .filter(F.col("tags")["name"].isNotNull())
+        .select("id", template_col("{name} ({id})").alias("line"))
+    )
+
+
 def _q_raster_vector_join(spark, sf):
     c = ctx(spark, sf)
     media_nodes = c["feats"]["media"].select(
@@ -381,6 +402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute": _q_knn_brute,
         "knn_rings": _q_knn_rings,
         "raster_vector_join": _q_raster_vector_join,
+        "a2_string_freq": _q_a2_string_freq,
+        "f11_template": _q_f11_template,
     }
     from geodesk_gol_spark.gate_ml import ml_queries
 
@@ -518,6 +541,11 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute": _ORACLE_KNN,
         "knn_rings": _ORACLE_KNN,
         "raster_vector_join": _ORACLE_RASTER,
+        "a2_string_freq": _ORACLE_STRING_FREQ,
+        "f11_template": f"""
+            SELECT id, concat(name, ' (', CAST(id AS STRING), ')') AS line
+            FROM ({sqlgen.nodes_select()}) WHERE name IS NOT NULL
+        """,
     }
     from geodesk_gol_spark.gate_ml import ml_oracle_sql
 
@@ -667,6 +695,54 @@ boxes AS (
 SELECT DISTINCT typed_id FROM boxes
 WHERE maxx >= {_BB[0]} AND minx <= {_BB[2]}
   AND maxy >= {_BB[1]} AND miny <= {_BB[3]}
+"""
+
+_ORACLE_STRING_FREQ = f"""
+WITH nodes AS ({sqlgen.nodes_select()}),
+ways AS ({sqlgen.ways_select()}),
+rels AS ({sqlgen.relations_select()}),
+qcust AS (
+  SELECT c.c_custkey, c.c_nationkey FROM customer c
+  WHERE EXISTS (SELECT 1 FROM ways w JOIN orders o ON o.o_orderkey = w.id
+                WHERE o.o_custkey = c.c_custkey)
+),
+strs AS (
+  SELECT 'highway' AS s FROM nodes WHERE highway IS NOT NULL
+  UNION ALL SELECT highway FROM nodes WHERE highway IS NOT NULL
+  UNION ALL SELECT 'name' FROM nodes WHERE name IS NOT NULL
+  UNION ALL SELECT name FROM nodes WHERE name IS NOT NULL
+  UNION ALL SELECT 'amenity' FROM nodes WHERE amenity IS NOT NULL
+  UNION ALL SELECT amenity FROM nodes WHERE amenity IS NOT NULL
+  UNION ALL SELECT 'highway' FROM ways WHERE highway IS NOT NULL
+  UNION ALL SELECT highway FROM ways WHERE highway IS NOT NULL
+  UNION ALL SELECT 'name' FROM ways WHERE name IS NOT NULL
+  UNION ALL SELECT name FROM ways WHERE name IS NOT NULL
+  UNION ALL SELECT 'building' FROM ways WHERE building IS NOT NULL
+  UNION ALL SELECT building FROM ways WHERE building IS NOT NULL
+  UNION ALL SELECT 'boundary' FROM rels r JOIN qcust q
+    ON q.c_custkey = r.id - {sqlgen.CUST_REL_BASE} WHERE r.boundary IS NOT NULL
+  UNION ALL SELECT r.boundary FROM rels r JOIN qcust q
+    ON q.c_custkey = r.id - {sqlgen.CUST_REL_BASE} WHERE r.boundary IS NOT NULL
+  UNION ALL SELECT 'name' FROM rels r JOIN qcust q
+    ON q.c_custkey = r.id - {sqlgen.CUST_REL_BASE} WHERE r.name IS NOT NULL
+  UNION ALL SELECT r.name FROM rels r JOIN qcust q
+    ON q.c_custkey = r.id - {sqlgen.CUST_REL_BASE} WHERE r.name IS NOT NULL
+  UNION ALL SELECT 'name' FROM nation
+    WHERE EXISTS (SELECT 1 FROM qcust WHERE c_nationkey = n_nationkey)
+  UNION ALL SELECT n_name FROM nation
+    WHERE EXISTS (SELECT 1 FROM qcust WHERE c_nationkey = n_nationkey)
+  UNION ALL SELECT 'name' FROM region
+  UNION ALL SELECT r_name FROM region
+),
+freq AS (
+  SELECT s, count(*) AS n,
+         CASE s WHEN '' THEN 0 WHEN 'no' THEN 1 WHEN 'yes' THEN 2
+                WHEN 'outer' THEN 3 WHEN 'inner' THEN 4 END AS cc
+  FROM strs GROUP BY s HAVING count(*) >= 100
+)
+SELECT CAST(row_number() OVER (ORDER BY (cc IS NULL), cc, n DESC, s ASC) - 1
+            AS INT) AS code, s, n
+FROM freq
 """
 
 _ORACLE_KNN = f"""

@@ -1,0 +1,118 @@
+"""S5/S6 archive roundtrip, S9 map sink, F11 templates, A2 string table."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from geodesk_gol_spark.operators.archive import (
+    ArchiveChecksumError,
+    load_tiles,
+    merge_archives,
+    save_tiles,
+)
+from geodesk_gol_spark.operators.strings import global_string_table
+from geodesk_gol_spark.query.map import render_map, template_col
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    from geodesk_gol_spark.config import BuildSettings
+    from geodesk_gol_spark.plans.pipeline import build_gol
+
+    out = str(tmp_path_factory.mktemp("gol_arch"))
+    res = build_gol(spark, SF_DIR, out, BuildSettings.for_fixture(50))
+    store = spark.read.parquet(res.store_path()).persist()
+    store.count()
+    return res, store
+
+
+def test_archive_roundtrip(spark, built, tmp_path):
+    res, store = built
+    path = str(tmp_path / "arch")
+    manifest = save_tiles(store, res.catalog, path)
+    assert len(manifest["tiles"]) == len(res.catalog.tiles)
+    back = load_tiles(spark, path)
+    assert back.count() == store.count()
+    # content equality modulo the map column (set ops reject MapType)
+    assert back.drop("tags").exceptAll(store.drop("tags")).count() == 0
+
+
+def test_archive_bbox_subset(spark, built, tmp_path):
+    res, store = built
+    path = str(tmp_path / "arch_bbox")
+    bbox = (1115000000, 630000000, 1126000000, 648000000)
+    manifest = save_tiles(store, res.catalog, path, bbox=bbox)
+    assert 0 < len(manifest["tiles"]) < len(res.catalog.tiles)
+    back = load_tiles(spark, path)
+    assert back.select("tile_id").distinct().count() == len(manifest["tiles"])
+
+
+def test_archive_checksum_detects_corruption(spark, built, tmp_path):
+    res, store = built
+    path = str(tmp_path / "arch_bad")
+    save_tiles(store, res.catalog, path)
+    # corrupt the manifest
+    m = json.load(open(f"{path}/manifest.json"))
+    k = next(iter(m["tiles"]))
+    m["tiles"][k]["checksum"] += 1
+    json.dump(m, open(f"{path}/manifest.json", "w"))
+    with pytest.raises(ArchiveChecksumError):
+        load_tiles(spark, path)
+
+
+def test_merge_archives_replaces_tiles(spark, built, tmp_path):
+    res, store = built
+    some_tile = store.select("tile_id").first()[0]
+    incoming = store.filter(F.col("tile_id") == some_tile).limit(1)
+    merged = merge_archives(store, incoming)
+    # the incoming tile was replaced wholesale (1 row), others untouched
+    assert merged.filter(F.col("tile_id") == some_tile).count() == 1
+    assert (
+        merged.filter(F.col("tile_id") != some_tile).count()
+        == store.filter(F.col("tile_id") != some_tile).count()
+    )
+
+
+def test_map_sink(spark, built):
+    _, store = built
+    from geodesk_gol_spark.query import formats
+
+    nodes = (
+        store.filter((F.col("ftype") == 0) & F.col("tags")["amenity"].isNotNull())
+        .dropDuplicates(["typed_id"])
+        .withColumn("_popup", template_col("{name} ({id})"))
+    )
+    lines = formats.node_geojsonl(nodes.limit(50))
+    html = render_map(lines, title="test map")
+    assert html.startswith("<!DOCTYPE html>")
+    assert '"type":"Feature"' in html and "L.geoJSON" in html
+
+
+def test_template_col(spark):
+    df = spark.createDataFrame(
+        [(1, {"name": "Foo"}), (2, {})],
+        "id long, tags map<string,string>",
+    )
+    rows = {r.id: r.t for r in df.select("id", template_col("{name} #{id}").alias("t")).collect()}
+    assert rows == {1: "Foo #1", 2: " #2"}
+
+
+def test_global_string_table(spark, built):
+    from geodesk_gol_spark.sources.parser import parse_features
+    from geodesk_gol_spark.sources.synth import synth_docs
+
+    docs = synth_docs(spark, SF_DIR)
+    feats = parse_features(docs)
+    t = global_string_table(
+        [feats["nodes"], feats["ways"], feats["relations"]], min_usage=100
+    ).toPandas()
+    assert (t.n >= 100).all()
+    # codes are dense from 0 and ordering is (core, count desc, string asc)
+    assert sorted(t.code) == list(range(len(t)))
+    noncore = t[~t.s.isin(["", "no", "yes", "outer", "inner"])].sort_values("code")
+    assert list(noncore.n) == sorted(noncore.n, reverse=True) or len(noncore) <= 1
