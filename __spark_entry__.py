@@ -432,8 +432,13 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'relation', id FROM ({sqlgen.relations_select()})
               UNION ALL SELECT 'relation', {sqlgen.NATION_REL_BASE} + n_nationkey
                 FROM nation
+                WHERE n_nationkey IN (
+                  SELECT c_nationkey FROM customer
+                  WHERE c_custkey IN ({sqlgen.qualifying_custs_select()}))
               UNION ALL SELECT 'relation', {sqlgen.REGION_REL_BASE} + r_regionkey
                 FROM region
+                WHERE EXISTS (SELECT 1 FROM nation
+                              WHERE n_regionkey = r_regionkey)
             ) GROUP BY kind
         """,
         "a4_tile_pyramid": _prefix() + (

@@ -232,20 +232,41 @@ REL_NAME = (
 )
 
 
-def relations_select(customer: str = "customer") -> str:
-    """Level-0 relations (way members only): one per customer."""
+def qualifying_custs_select(
+    customer: str = "customer", orders: str = "orders", lineitem: str = "lineitem"
+) -> str:
+    """Customer keys owning >= 1 qualifying order-way (>= 2 distinct
+    lineitem nodes) — only these customers get a relation span in synth
+    (sources/synth.py cust_rel_members inner-joins orders to way_nodes)."""
+    return f"""SELECT DISTINCT o.o_custkey AS c_custkey
+FROM {orders} o
+JOIN (SELECT l_orderkey FROM {lineitem}
+      GROUP BY l_orderkey HAVING count(DISTINCT l_linenumber) >= 2) q
+  ON q.l_orderkey = o.o_orderkey"""
+
+
+def relations_select(
+    customer: str = "customer", orders: str = "orders", lineitem: str = "lineitem"
+) -> str:
+    """Level-0 relations (way members only): one per customer that has at
+    least one qualifying order-way (mirrors synth.py's inner join)."""
     return f"""SELECT
   {CUST_REL_BASE} + c_custkey AS id,
   {REL_BOUNDARY} AS boundary,
   {REL_NAME} AS name,
   c_nationkey AS nationkey
-FROM {customer}"""
+FROM {customer}
+WHERE c_custkey IN ({qualifying_custs_select(customer, orders, lineitem)})"""
 
 
-def relation_members_select(customer: str = "customer", orders: str = "orders") -> str:
+def relation_members_select(
+    customer: str = "customer", orders: str = "orders", lineitem: str = "lineitem"
+) -> str:
     """(rel_id, seq, member_type, member_id): customer rel -> its order-ways,
     ordered by orderkey. member_type: 0=node 1=way 2=relation
-    (typed id = id*4 + type, src/build/sort/Sorter.cpp:527)."""
+    (typed id = id*4 + type, src/build/sort/Sorter.cpp:527).
+    Member orders must be real ways: >= 2 DISTINCT lineitem nodes, matching
+    ways_select (duplicate (l_orderkey, l_linenumber) rows exist in testdata)."""
     return f"""SELECT
   {CUST_REL_BASE} + c.c_custkey AS rel_id,
   CAST(row_number() OVER (PARTITION BY c.c_custkey ORDER BY o.o_orderkey) - 1 AS INT) AS seq,
@@ -253,19 +274,24 @@ def relation_members_select(customer: str = "customer", orders: str = "orders") 
   o.o_orderkey AS member_id
 FROM {customer} c
 JOIN {orders} o ON o.o_custkey = c.c_custkey
-JOIN (SELECT l_orderkey, count(*) n FROM lineitem GROUP BY l_orderkey) lc
+JOIN (SELECT l_orderkey, count(DISTINCT l_linenumber) AS n FROM {lineitem}
+      GROUP BY l_orderkey) lc
   ON lc.l_orderkey = o.o_orderkey AND lc.n >= 2"""
 
 
 def super_relation_members_select(
-    customer: str = "customer", nation: str = "nation", region: str = "region"
+    customer: str = "customer", nation: str = "nation", region: str = "region",
+    orders: str = "orders", lineitem: str = "lineitem",
 ) -> str:
     """Nation relations contain customer relations; region relations contain
-    nation relations (2 super-levels -> level-ordered resolution, J6)."""
+    nation relations (2 super-levels -> level-ordered resolution, J6).
+    Nation members include only customers that actually have a relation
+    (qualifying customers, see relations_select)."""
     return f"""SELECT {NATION_REL_BASE} + n.n_nationkey AS rel_id,
   CAST(row_number() OVER (PARTITION BY n.n_nationkey ORDER BY c.c_custkey) - 1 AS INT) AS seq,
   2 AS member_type, {CUST_REL_BASE} + c.c_custkey AS member_id
 FROM {nation} n JOIN {customer} c ON c.c_nationkey = n.n_nationkey
+WHERE c.c_custkey IN ({qualifying_custs_select(customer, orders, lineitem)})
 UNION ALL
 SELECT {REGION_REL_BASE} + r.r_regionkey AS rel_id,
   CAST(row_number() OVER (PARTITION BY r.r_regionkey ORDER BY n.n_nationkey) - 1 AS INT) AS seq,

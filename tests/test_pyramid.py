@@ -18,7 +18,9 @@ DENSITY = 50
 @pytest.fixture(scope="module")
 def nodes(spark):
     df = with_projection(
-        spark.sql("SELECT * FROM lineitem").selectExpr(
+        spark.sql(
+            "SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem"
+        ).selectExpr(
             f"{sqlgen.NODE_ID} AS id",
             f"{sqlgen.LON100ND} AS lon100nd",
             f"{sqlgen.LAT100ND} AS lat100nd",
