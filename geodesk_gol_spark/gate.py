@@ -2,14 +2,30 @@
 
 The driver calls every ``queries()`` entry independently with
 (spark, sf_dir); rebuilding the synthesis → parse → pyramid → assignment
-chain per query would be O(queries × build).  This module memoizes the
-persisted frames so the build happens once per scale factor.
+chain per query would be O(queries × build).  Two cache layers:
+
+1. **Disk** (``.gatecache/<sf>-<code-fingerprint>/``): the first build at
+   a scale factor materializes every context frame to parquet; later
+   calls — *including calls from a fresh process*, e.g. a per-query
+   driver harness — load the parquet directly.  The fingerprint is a
+   hash of the package source, so any code change invalidates the cache
+   automatically.  This is also the engine's checkpoint/resume story in
+   miniature: every stage output is a restartable parquet table.
+2. **Memory** (module dict): repeat calls in one process return the same
+   DataFrame objects.
+
+Reading the context back from parquet (rather than keeping the live
+lineage) also gives each gate query a short, column-prunable scan plan
+instead of the full build DAG.
 """
 
 from __future__ import annotations
 
+import hashlib
+from pathlib import Path
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from .config import BuildSettings
 from .functions.mercator import with_projection
@@ -24,40 +40,113 @@ DENSITY = 500  # fixture-scale min_tile_density (reference default 75 000
                # is planet-scale; BuildSettings.h:165)
 
 _CTX: dict[tuple[int, str], dict] = {}
+_PKG = Path(__file__).resolve().parent
+
+# context frames persisted to / loaded from the disk cache
+_FRAMES = (
+    "docs", "nodes", "ways", "relations", "proj", "points", "node_tiles",
+    "way_homes", "way_ghosts", "rel_homes", "extents", "feature_tiles",
+    "unresolved_relations", "store", "exports",
+)
+
+
+def _code_fingerprint() -> str:
+    h = hashlib.sha256()
+    for p in sorted(_PKG.rglob("*.py")):
+        h.update(p.read_bytes())
+    return h.hexdigest()[:12]
+
+
+def _cache_dir(sf_dir: str) -> Path:
+    name = Path(sf_dir.rstrip("/")).name or "sf"
+    return _PKG.parent / ".gatecache" / f"{name}-{_code_fingerprint()}"
+
+
+def _materialize(spark: SparkSession, sf_dir: str) -> Path:
+    """Build once, checkpointing STAGE BY STAGE to parquet.
+
+    Each stage reads the previous stage's parquet rather than extending
+    one giant logical plan: the synth expressions are large CASE chains,
+    and re-analyzing them per downstream action costs far more than the
+    sf0.001/0.01 data itself.  Staged checkpoints cap plan size AND make
+    every stage independently resumable.
+    """
+    d = _cache_dir(sf_dir)
+    tmp = d.with_name(d.name + ".tmp")
+    if tmp.exists():
+        import shutil
+
+        shutil.rmtree(tmp)
+
+    def w(name: str, df: DataFrame) -> DataFrame:
+        df.write.mode("overwrite").parquet(str(tmp / name))
+        return spark.read.parquet(str(tmp / name))
+
+    settings = BuildSettings.for_fixture(DENSITY)
+    docs = w("docs", synth_docs(spark, sf_dir))
+    feats = {k: w(k, v) for k, v in parse_features(docs).items()}
+    proj = w("proj", with_projection(feats["nodes"]))
+    catalog = build_tile_catalog(proj, settings)
+    asn = assign_features(feats, catalog)
+    for name in ("points", "node_tiles", "way_homes", "way_ghosts",
+                 "rel_homes", "extents", "feature_tiles",
+                 "unresolved_relations"):
+        asn[name] = w(name, asn[name])
+    w("store", compile_feature_rows(
+        asn["feature_tiles"], asn["points"], asn["extents"],
+        feats["nodes"], feats["ways"], feats["relations"],
+    ))
+    w("exports", V.export_tables(
+        feats["ways"], feats["relations"],
+        asn["node_tiles"].select("typed_id", "tile_id"),
+        asn["way_homes"], asn["rel_homes"],
+    ))
+    catalog.tiles.to_parquet(tmp / "catalog_tiles.parquet")
+    spark.catalog.clearCache()
+    if d.exists():  # lost a race with another builder — theirs is fine
+        import shutil
+
+        shutil.rmtree(tmp)
+    else:
+        tmp.rename(d)
+    return d
 
 
 def ctx(spark: SparkSession, sf_dir: str) -> dict:
     key = (id(spark), sf_dir.rstrip("/"))
     if key in _CTX:
         return _CTX[key]
+    d = _cache_dir(sf_dir)
+    if not d.exists():
+        _materialize(spark, sf_dir)
+    frames = {n: spark.read.parquet(str(d / n)) for n in _FRAMES}
     settings = BuildSettings.for_fixture(DENSITY)
-    docs = synth_docs(spark, sf_dir).persist()
-    feats = {k: v.persist() for k, v in parse_features(docs).items()}
-    proj = with_projection(feats["nodes"]).persist()
-    catalog = build_tile_catalog(proj, settings)
-    asn = assign_features(feats, catalog)
-    for k in ("feature_tiles", "extents", "node_tiles", "way_homes",
-              "way_ghosts", "rel_homes"):
-        asn[k] = asn[k].persist()
-    store = compile_feature_rows(
-        asn["feature_tiles"], asn["points"], asn["extents"],
-        feats["nodes"], feats["ways"], feats["relations"],
-    ).persist()
-    exports = V.export_tables(
-        feats["ways"], feats["relations"],
-        asn["node_tiles"].select("typed_id", "tile_id"),
-        asn["way_homes"], asn["rel_homes"],
-    ).persist()
+    catalog = TileCatalog(
+        settings=settings, tiles=pd.read_parquet(d / "catalog_tiles.parquet")
+    )
     c = {
         "settings": settings,
-        "docs": docs,
-        "feats": feats,
-        "proj": proj,
-        "points": asn["points"],
+        "docs": frames["docs"],
+        "feats": {
+            "nodes": frames["nodes"],
+            "ways": frames["ways"],
+            "relations": frames["relations"],
+        },
+        "proj": frames["proj"],
+        "points": frames["points"],
         "catalog": catalog,
-        "assignment": asn,
-        "store": store,
-        "exports": exports,
+        "assignment": {
+            "points": frames["points"],
+            "node_tiles": frames["node_tiles"],
+            "way_homes": frames["way_homes"],
+            "way_ghosts": frames["way_ghosts"],
+            "rel_homes": frames["rel_homes"],
+            "extents": frames["extents"],
+            "feature_tiles": frames["feature_tiles"],
+            "unresolved_relations": frames["unresolved_relations"],
+        },
+        "store": frames["store"],
+        "exports": frames["exports"],
     }
     _CTX[key] = c
     return c

@@ -96,11 +96,12 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
     Scale shape (mirrors the reference's split): member resolution for
     *simple* relations (no relation members) is one distributed
     join + aggregate — this is the heavy part (billions of members).
-    Relation-in-relation edges are rare and bounded (the reference
-    defers them to a dedicated single-threaded resolver,
-    src/build/sort/SuperRelationResolver.cpp:15-149); we collect only
-    (super_rel → member_rel) edges plus one pre-aggregated extent row per
-    super relation to the driver and run the level iteration there.
+    Super-relations resolve in <= MAX_RELATION_LEVELS distributed level
+    passes (each a join + aggregate over the rel→rel edge frame, which
+    the reference handles with a dedicated resolver,
+    src/build/sort/SuperRelationResolver.cpp:15-149); nothing
+    corpus-sized ever hits the driver — only true cycle residue is
+    collected, resolved in id order, and unioned back.
 
     Cycles are broken deterministically in ascending-id order (the
     reference scores candidates and tags losers geodesk:removed_refcycles,
@@ -162,161 +163,208 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
         .persist()
     )
 
-    # super-relation edge list: small by construction; driver-resolved
-    rel_edges = rm.filter(F.col("m_t") == TYPE_RELATION).select(
+    # J6: super-relation resolution as <= MAX_RELATION_LEVELS distributed
+    # level passes — each pass is one join + aggregate over the edge frame,
+    # so the (potentially corpus-sized) rel→rel membership never hits the
+    # driver.  Only true cycle residue (rare by the reference's own design,
+    # SuperRelationResolver.cpp:15-149) is collected.
+    edges = rm.filter(F.col("m_t") == TYPE_RELATION).select(
         "rel_id", "n_members", F.shiftright("m_typed", 2).alias("member_rel")
+    ).persist()
+    supers = edges.select("rel_id").distinct().persist()
+    n_pending = supers.count()
+
+    out_cols = ["rel_id", "n_members", "n_resolved", *_EXT_COLS,
+                "level", "refcycle"]
+    simple_part = (
+        nonrel_agg.join(supers, "rel_id", "left_anti")
+        .withColumn("level", F.lit(0))
+        .withColumn("refcycle", F.lit(False))
+        .persist()
     )
-    edges = rel_edges.toPandas()
+    resolved_all = (
+        simple_part.filter(F.col("n_resolved") > 0).select(*out_cols).persist()
+    )
+    unresolved = simple_part.filter(F.col("n_resolved") == 0).select("rel_id")
 
-    simple_ids = None
-    if len(edges) == 0:
-        rel_ext = (
-            nonrel_agg.filter(F.col("n_resolved") > 0)
-            .withColumn("level", F.lit(0))
-            .withColumn("refcycle", F.lit(False))
+    pending = supers
+    if n_pending:
+        m_ext_sel = [F.col(c).alias(f"m_{c}") for c in _EXT_COLS]
+        own = nonrel_agg.select(
+            "rel_id",
+            F.col("n_resolved").alias("o_res"),
+            *[F.col(c).alias(f"o_{c}") for c in _EXT_COLS],
         )
-        unresolved = nonrel_agg.filter(F.col("n_resolved") == 0).select("rel_id")
-    else:
-        super_ids = set(edges.rel_id)
-        # extents needed on the driver: the super rels' own non-rel parts +
-        # extents of every directly-referenced member relation that is simple
-        need_ids = super_ids | set(edges.member_rel)
-        need_pdf = nonrel_agg.filter(
-            F.col("rel_id").isin([int(i) for i in need_ids])
-        ).toPandas()
-        drv = {
-            int(r.rel_id): {
-                "n_members": int(r.n_members),
-                "n_resolved": int(r.n_resolved),
-                "ext": None
-                if r.n_resolved == 0
-                else [r.minc, r.minr, r.maxc, r.maxr, r.minx, r.miny, r.maxx, r.maxy],
-            }
-            for r in need_pdf.itertuples()
-        }
-        by_super: dict[int, list[int]] = {}
-        for r in edges.itertuples():
-            by_super.setdefault(int(r.rel_id), []).append(int(r.member_rel))
-            drv.setdefault(int(r.rel_id), {"n_members": int(r.n_members),
-                                           "n_resolved": 0, "ext": None})
-
-        def merge(a, b):
-            if a is None:
-                return list(b) if b else None
-            if b is None:
-                return a
-            return [
-                min(a[0], b[0]), min(a[1], b[1]), max(a[2], b[2]), max(a[3], b[3]),
-                min(a[4], b[4]), min(a[5], b[5]), max(a[6], b[6]), max(a[7], b[7]),
-            ]
-
-        resolved_super: dict[int, tuple] = {}
-        pending = set(by_super)
         for _ in range(MAX_RELATION_LEVELS):
-            # ready: every member that is itself a super-rel is resolved
-            ready = [
-                s
-                for s in pending
-                if all(m not in by_super or m in resolved_super for m in by_super[s])
-            ]
-            if not ready:
+            if n_pending == 0:
                 break
-            for s in sorted(ready):
+            # ready = pending supers none of whose rel-members is pending
+            blocked = (
+                edges.join(pending, "rel_id")
+                .join(pending.withColumnRenamed("rel_id", "member_rel"),
+                      "member_rel")
+                .select("rel_id")
+                .distinct()
+            )
+            # localCheckpoint truncates lineage: without it the
+            # pending/ready plan nests 3x per level (exponential logical
+            # plans -> analyzer OOM); data stays on executors.
+            ready = pending.join(blocked, "rel_id", "left_anti").localCheckpoint()
+            n_ready = ready.count()
+            if n_ready == 0:
+                break  # cycle residue — handled below
+            new = (
+                edges.join(ready, "rel_id")
+                .join(
+                    resolved_all.select(
+                        F.col("rel_id").alias("member_rel"),
+                        F.col("level").alias("m_level"),
+                        *m_ext_sel,
+                    ),
+                    "member_rel",
+                    "left",
+                )
+                .groupBy("rel_id", "n_members")
+                .agg(
+                    F.count("m_minc").alias("m_res"),
+                    F.max(
+                        F.when(F.col("m_minc").isNotNull(), F.col("m_level"))
+                    ).alias("m_lv"),
+                    F.min("m_minc").alias("mm_minc"),
+                    F.min("m_minr").alias("mm_minr"),
+                    F.max("m_maxc").alias("mm_maxc"),
+                    F.max("m_maxr").alias("mm_maxr"),
+                    F.min("m_minx").alias("mm_minx"),
+                    F.min("m_miny").alias("mm_miny"),
+                    F.max("m_maxx").alias("mm_maxx"),
+                    F.max("m_maxy").alias("mm_maxy"),
+                )
+                .join(own, "rel_id", "left")
+                .select(
+                    "rel_id",
+                    "n_members",
+                    (F.coalesce("o_res", F.lit(0)) + F.col("m_res"))
+                    .alias("n_resolved"),
+                    F.least("o_minc", "mm_minc").alias("minc"),
+                    F.least("o_minr", "mm_minr").alias("minr"),
+                    F.greatest("o_maxc", "mm_maxc").alias("maxc"),
+                    F.greatest("o_maxr", "mm_maxr").alias("maxr"),
+                    F.least("o_minx", "mm_minx").alias("minx"),
+                    F.least("o_miny", "mm_miny").alias("miny"),
+                    F.greatest("o_maxx", "mm_maxx").alias("maxx"),
+                    F.greatest("o_maxy", "mm_maxy").alias("maxy"),
+                    (F.coalesce("m_lv", F.lit(0)) + 1).alias("level"),
+                    F.lit(False).alias("refcycle"),
+                )
+                .localCheckpoint()
+            )
+            resolved_all = resolved_all.unionByName(
+                new.filter(F.col("minc").isNotNull()).select(*out_cols)
+            ).persist()
+            # supers whose transitive member set resolved to nothing
+            unresolved = unresolved.unionByName(
+                new.filter(F.col("minc").isNull()).select("rel_id")
+            )
+            pending = pending.join(ready, "rel_id", "left_anti").localCheckpoint()
+            n_pending -= n_ready
+
+        if n_pending:
+            # cycle break: residue only — collect, resolve in ascending-id
+            # order with whatever member extents exist, flag ``refcycle``
+            # (reference scores + tags geodesk:removed_refcycles,
+            # SuperRelationResolver.cpp:152-235; our spec: id order).
+            pend_edges = edges.join(pending, "rel_id").toPandas()
+            mem_ids = sorted({int(m) for m in pend_edges.member_rel})
+            mem_pdf = resolved_all.join(
+                spark.createDataFrame([(m,) for m in mem_ids], "rel_id long"),
+                "rel_id",
+            ).toPandas()
+            own_pdf = nonrel_agg.join(pending, "rel_id").toPandas()
+            mem_ext = {
+                int(r.rel_id): (
+                    [r.minc, r.minr, r.maxc, r.maxr,
+                     r.minx, r.miny, r.maxx, r.maxy],
+                    int(r.level),
+                )
+                for r in mem_pdf.itertuples()
+            }
+            drv = {
+                int(r.rel_id): {
+                    "n_members": int(r.n_members),
+                    "n_resolved": int(r.n_resolved),
+                    "ext": None if r.n_resolved == 0 else
+                    [r.minc, r.minr, r.maxc, r.maxr,
+                     r.minx, r.miny, r.maxx, r.maxy],
+                }
+                for r in own_pdf.itertuples()
+            }
+            by_super: dict[int, list[int]] = {}
+            for r in pend_edges.itertuples():
+                by_super.setdefault(int(r.rel_id), []).append(int(r.member_rel))
+                drv.setdefault(int(r.rel_id), {
+                    "n_members": int(r.n_members), "n_resolved": 0, "ext": None,
+                })
+
+            def _merge(a, b):
+                if a is None:
+                    return list(b) if b else None
+                if b is None:
+                    return a
+                return [
+                    min(a[0], b[0]), min(a[1], b[1]),
+                    max(a[2], b[2]), max(a[3], b[3]),
+                    min(a[4], b[4]), min(a[5], b[5]),
+                    max(a[6], b[6]), max(a[7], b[7]),
+                ]
+
+            cyc_resolved: dict[int, tuple] = {}
+            for s in sorted(by_super):
                 ext = drv[s]["ext"]
                 n_res = drv[s]["n_resolved"]
                 lv = 0
                 for m in by_super[s]:
-                    m_ext, m_lv = None, -1
-                    if m in resolved_super:
-                        m_ext, m_lv = resolved_super[m][0], resolved_super[m][1]
-                    elif m in drv and drv[m]["ext"] is not None:
-                        m_ext, m_lv = drv[m]["ext"], 0
+                    m_ext = None
+                    if m in cyc_resolved and cyc_resolved[m][0] is not None:
+                        m_ext = cyc_resolved[m][0]
+                        lv = max(lv, cyc_resolved[m][1])
+                    elif m in mem_ext:
+                        m_ext = mem_ext[m][0]
+                        lv = max(lv, mem_ext[m][1])
                     if m_ext is not None:
-                        ext = merge(ext, m_ext)
+                        ext = _merge(ext, m_ext)
                         n_res += 1
-                        lv = max(lv, m_lv)
-                resolved_super[s] = (ext, lv + 1, n_res, False)
-                pending.discard(s)
-        # cycle break: remaining supers resolve in id order with whatever
-        # member extents exist so far; flagged refcycle
-        for s in sorted(pending):
-            ext = drv[s]["ext"]
-            n_res = drv[s]["n_resolved"]
-            lv = 0
-            for m in by_super[s]:
-                m_ext = None
-                if m in resolved_super and resolved_super[m][0] is not None:
-                    m_ext = resolved_super[m][0]
-                    lv = max(lv, resolved_super[m][1])
-                elif m in drv and drv[m]["ext"] is not None:
-                    m_ext = drv[m]["ext"]
-                if m_ext is not None:
-                    ext = merge(ext, m_ext)
-                    n_res += 1
-            resolved_super[s] = (ext, lv + 1, n_res, True)
+                cyc_resolved[s] = (ext, lv + 1, n_res)
+            rows = [
+                {
+                    "rel_id": s, "n_members": drv[s]["n_members"],
+                    "n_resolved": n_res,
+                    "minc": int(ext[0]), "minr": int(ext[1]),
+                    "maxc": int(ext[2]), "maxr": int(ext[3]),
+                    "minx": int(ext[4]), "miny": int(ext[5]),
+                    "maxx": int(ext[6]), "maxy": int(ext[7]),
+                    "level": int(lv), "refcycle": True,
+                }
+                for s, (ext, lv, n_res) in cyc_resolved.items()
+                if ext is not None
+            ]
+            if rows:
+                resolved_all = resolved_all.unionByName(
+                    spark.createDataFrame(
+                        rows,
+                        schema="rel_id long, n_members int, n_resolved long, "
+                        "minc int, minr int, maxc int, maxr int, "
+                        "minx long, miny long, maxx long, maxy long, "
+                        "level int, refcycle boolean",
+                    ).select(*out_cols)
+                )
+            dead = [s for s, v in cyc_resolved.items() if v[0] is None]
+            if dead:
+                unresolved = unresolved.unionByName(
+                    spark.createDataFrame([(int(s),) for s in dead],
+                                          "rel_id long")
+                ).distinct()
 
-        rows = [
-            {
-                "rel_id": s,
-                "n_members": drv[s]["n_members"],
-                "n_resolved": n_res,
-                "minc": int(ext[0]), "minr": int(ext[1]),
-                "maxc": int(ext[2]), "maxr": int(ext[3]),
-                "minx": int(ext[4]), "miny": int(ext[5]),
-                "maxx": int(ext[6]), "maxy": int(ext[7]),
-                "level": int(lv),
-                "refcycle": bool(cyc),
-            }
-            for s, (ext, lv, n_res, cyc) in resolved_super.items()
-            if ext is not None
-        ]
-        super_df = (
-            spark.createDataFrame(
-                rows,
-                schema="rel_id long, n_members int, n_resolved long, "
-                "minc int, minr int, maxc int, maxr int, "
-                "minx long, miny long, maxx long, maxy long, "
-                "level int, refcycle boolean",
-            )
-            if rows
-            else None
-        )
-        simple_part = (
-            nonrel_agg.join(
-                spark.createDataFrame(
-                    [(int(s),) for s in super_ids], "rel_id long"
-                ),
-                "rel_id",
-                "left_anti",
-            )
-            .filter(F.col("n_resolved") > 0)
-            .withColumn("level", F.lit(0))
-            .withColumn("refcycle", F.lit(False))
-        )
-        rel_ext = (
-            simple_part.unionByName(super_df)
-            if super_df is not None
-            else simple_part
-        )
-        resolved_ids = [s for s, v in resolved_super.items() if v[0] is not None]
-        # unresolved: simple rels with zero resolvable members, plus supers
-        # whose transitive member set resolved to nothing (pure cycles)
-        dead_supers = [int(s) for s, v in resolved_super.items() if v[0] is None]
-        unresolved = (
-            nonrel_agg.filter(F.col("n_resolved") == 0)
-            .join(
-                spark.createDataFrame(
-                    [(int(s),) for s in resolved_ids] or [(-1,)], "rel_id long"
-                ),
-                "rel_id",
-                "left_anti",
-            )
-            .select("rel_id")
-        )
-        if dead_supers:
-            unresolved = unresolved.unionByName(
-                spark.createDataFrame([(s,) for s in dead_supers], "rel_id long")
-            ).distinct()
+    rel_ext = resolved_all
 
     rel_ext = rel_ext.select(
         (F.col("rel_id") * 4 + TYPE_RELATION).alias("typed_id"),
@@ -334,8 +382,19 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
 # TilePair homes (J3) + survivor mapping
 # ---------------------------------------------------------------------------
 
-def home_candidates(ext: DataFrame) -> DataFrame:
-    """Extent → 1-2 candidate home tiles (zstar, cand_c, cand_r, twin)."""
+def home_tiles(ext: DataFrame, catalog: TileCatalog) -> DataFrame:
+    """Extent → home tile rows (typed_id, tile_id, twin, zstar). J3.
+
+    z* and both TilePair corner candidates are computed in-row; each
+    corner resolves to its deepest surviving ancestor-or-self tile via
+    ONE vectorized broadcast lookup (functions/tile_lookup.py, the Spark
+    analogue of TileCatalog.h:74-82's cellToPile array), and twins that
+    collapse onto the same survivor dedupe in-row — no explode-then-
+    groupBy, no shuffle, no BroadcastExchange chain.
+    """
+    from ..functions.tile_lookup import survivor_lookup_udf
+
+    lookup = survivor_lookup_udf(ext.sparkSession, catalog.tiles)
     e = ext.withColumn("zstar", F.expr(sqlgen.zstar_expr()))
     e = (
         e.withColumn("c0", F.expr(sqlgen.at_zstar_expr("minc")))
@@ -343,74 +402,37 @@ def home_candidates(ext: DataFrame) -> DataFrame:
         .withColumn("c1", F.expr(sqlgen.at_zstar_expr("maxc")))
         .withColumn("r1", F.expr(sqlgen.at_zstar_expr("maxr")))
     )
-    cands = e.select(
-        "typed_id",
-        "zstar",
-        F.explode(
-            F.when(
-                (F.col("c0") == F.col("c1")) & (F.col("r0") == F.col("r1")),
-                F.array(F.struct(F.col("c0").alias("c"), F.col("r0").alias("r"),
-                                 F.lit(0).alias("twin"))),
-            ).otherwise(
-                F.array(
-                    F.struct(F.col("c0").alias("c"), F.col("r0").alias("r"),
-                             F.lit(0).alias("twin")),
-                    F.struct(F.col("c1").alias("c"), F.col("r1").alias("r"),
-                             F.lit(1).alias("twin")),
-                )
-            )
-        ).alias("cand"),
-    ).select(
-        "typed_id", "zstar",
-        F.col("cand.c").alias("cand_c"),
-        F.col("cand.r").alias("cand_r"),
-        F.col("cand.twin").alias("twin"),
+    e = e.withColumn(
+        "t0",
+        lookup(
+            F.expr(sqlgen.corner_cell_expr("c0")).cast("int"),
+            F.expr(sqlgen.corner_cell_expr("r0")).cast("int"),
+            F.col("zstar").cast("int"),
+        ),
+    ).withColumn(
+        "t1",
+        lookup(
+            F.expr(sqlgen.corner_cell_expr("c1")).cast("int"),
+            F.expr(sqlgen.corner_cell_expr("r1")).cast("int"),
+            F.col("zstar").cast("int"),
+        ),
     )
-    return cands
-
-
-def map_to_survivors(cands: DataFrame, catalog: TileCatalog) -> DataFrame:
-    """Candidate (zstar, c, r) → deepest surviving ancestor-or-self tile.
-
-    Broadcast left join per pyramid zoom, guarded by zoom ≤ zstar so the
-    walk only goes upward; COALESCE picks the deepest hit, root (0) last.
-    Twins that collapse onto the same survivor dedupe to twin 0.
-    """
-    spark = cands.sparkSession
-    res = cands.withColumn(
-        "corner_c", F.expr(sqlgen.corner_cell_expr("cand_c"))
-    ).withColumn("corner_r", F.expr(sqlgen.corner_cell_expr("cand_r")))
-    picks = []
-    joined = []
-    for zoom in _LADDER:
-        s = catalog.survivors(zoom)
-        if len(s) == 0:
-            continue
-        joined.append(zoom)
-        name = f"_h{zoom}"
-        sdf = spark.createDataFrame(s[["col", "row", "tile_id"]].astype("int64")).select(
-            F.col("col").cast("int").alias(f"{name}_c"),
-            F.col("row").cast("int").alias(f"{name}_r"),
-            F.col("tile_id").cast("int").alias(name),
-        )
-        d = 1 << (LEAF_ZOOM - zoom)
-        res = res.join(
-            F.broadcast(sdf),
-            (F.col("zstar") >= zoom)
-            & (F.expr(f"CAST(floor(corner_c / {d}.0) AS INT)") == F.col(f"{name}_c"))
-            & (F.expr(f"CAST(floor(corner_r / {d}.0) AS INT)") == F.col(f"{name}_r")),
-            "left",
-        )
-        picks.append(F.col(name))
-    picks.append(F.lit(0))
-    res = res.withColumn("tile_id", F.coalesce(*picks).cast("int"))
-    res = res.drop(
-        *[c for z in joined for c in (f"_h{z}", f"_h{z}_c", f"_h{z}_r")],
-        "corner_c", "corner_r", "cand_c", "cand_r",
+    same = ((F.col("c0") == F.col("c1")) & (F.col("r0") == F.col("r1"))) | (
+        F.col("t0") == F.col("t1")
     )
-    # twins collapsing to the same survivor tile dedupe to the lower twin id
-    return res.groupBy("typed_id", "tile_id").agg(
-        F.min("twin").alias("twin"), F.min("zstar").alias("zstar")
+    pairs = F.when(
+        same,
+        F.array(F.struct(F.col("t0").alias("tile_id"), F.lit(0).alias("twin"))),
+    ).otherwise(
+        F.array(
+            F.struct(F.col("t0").alias("tile_id"), F.lit(0).alias("twin")),
+            F.struct(F.col("t1").alias("tile_id"), F.lit(1).alias("twin")),
+        )
+    )
+    return (
+        e.select("typed_id", "zstar", F.explode(pairs).alias("p"))
+        .select("typed_id", F.col("p.tile_id").alias("tile_id"),
+                F.col("p.twin").alias("twin"), "zstar")
     )
 
 
@@ -451,7 +473,7 @@ def assign_features(
     ).persist()
 
     wext = way_extents(feats["ways"], points).persist()
-    way_homes = map_to_survivors(home_candidates(wext), catalog).persist()
+    way_homes = home_tiles(wext, catalog).persist()
 
     # J4 ghosts: tiles holding member nodes, minus the home tiles
     wm = feats["ways"].select(
@@ -474,7 +496,7 @@ def assign_features(
 
     rel_ext, unresolved = relation_extents(feats["relations"], points, wext)
     rel_ext = rel_ext.persist()
-    rel_homes = map_to_survivors(home_candidates(rel_ext), catalog).join(
+    rel_homes = home_tiles(rel_ext, catalog).join(
         rel_ext.select("typed_id", "level"), "typed_id"
     )
 

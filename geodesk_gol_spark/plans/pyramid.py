@@ -78,39 +78,13 @@ class TileCatalog:
     ) -> DataFrame:
         """cell→tile: deepest surviving tile containing the cell (J1).
 
-        Four broadcast left joins + COALESCE — the Spark re-expression of
-        the reference's dense cellToPile array lookup.
+        One vectorized Arrow-batch lookup against the broadcast survivor
+        set (functions/tile_lookup.py) — no exchange, no join; the stage
+        stays a narrow map at any input size.
         """
-        spark = df.sparkSession
-        res = df
-        picks = []
-        joined_zooms = []
-        for zoom in _LADDER:
-            s = self.survivors(zoom)
-            if len(s) == 0:
-                continue
-            joined_zooms.append(zoom)
-            name = f"_t{zoom}"
-            sdf = spark.createDataFrame(
-                s[["col", "row", "tile_id"]].astype("int64")
-            ).select(
-                F.col("col").cast("int").alias(f"{name}_c"),
-                F.col("row").cast("int").alias(f"{name}_r"),
-                F.col("tile_id").cast("int").alias(name),
-            )
-            d = 1 << (12 - zoom)
-            res = res.join(
-                F.broadcast(sdf),
-                (F.expr(f"CAST(floor({cell_col} / {d}.0) AS INT)") == F.col(f"{name}_c"))
-                & (F.expr(f"CAST(floor({cell_row} / {d}.0) AS INT)") == F.col(f"{name}_r")),
-                "left",
-            )
-            picks.append(F.col(name))
-        picks.append(F.lit(0))  # root tile_id == 0
-        res = res.withColumn(out, F.coalesce(*picks).cast("int"))
-        return res.drop(
-            *[c for z in joined_zooms for c in (f"_t{z}", f"_t{z}_c", f"_t{z}_r")]
-        )
+        from ..functions.tile_lookup import assign_tiles
+
+        return assign_tiles(df, self.tiles, cell_col, cell_row, out=out)
 
 
 def build_tile_catalog(nodes: DataFrame, settings: BuildSettings) -> TileCatalog:
