@@ -168,6 +168,13 @@ def _q_j7_exports(spark, sf):
     return c["exports"].select("tile_id", "tex", "typed_id")
 
 
+def _q_j8_foreign_refs(spark, sf):
+    c = ctx(spark, sf)
+    return c["stubs"].select(
+        "tile_id", "ref_typed", "member_typed", "tip", "tex"
+    )
+
+
 def _q_o4_tile_order(spark, sf):
     from pyspark.sql import Window
 
@@ -232,6 +239,124 @@ def _q_p3_polygon_query(spark, sf):
     nodes = c["store"].filter((F.col("ftype") == 0) & ~F.col("is_ghost"))
     return (
         polygon_filter(nodes, c["catalog"], poly).select("typed_id").distinct()
+    )
+
+
+# L-shaped (concave) polygon over the dense cluster, decomposed into two
+# axis-aligned rects for the oracle; half-integer bounds so integer
+# coordinates never sit exactly on an edge (see sqlgen.seg_rect_intersect_expr)
+_LPOLY_RECT_A = (1118500000.5, 633500000.5, 1120000000.5, 637000000.5)
+_LPOLY_RECT_B = (1120000000.5, 635000000.5, 1121500000.5, 637000000.5)
+_LPOLY = [
+    (1118500000.5, 633500000.5),
+    (1120000000.5, 633500000.5),
+    (1120000000.5, 635000000.5),
+    (1121500000.5, 635000000.5),
+    (1121500000.5, 637000000.5),
+    (1118500000.5, 637000000.5),
+]
+
+
+def _q_p3_polygon_ways(spark, sf):
+    """P3/J9 true intersects: ways whose polyline crosses or enters the
+    concave polygon (reference -a over lines, PolygonParser.cpp:9-24)."""
+    from geodesk_gol_spark.query.spatial import (
+        polygon_intersect_ways,
+        way_segments,
+    )
+
+    c = ctx(spark, sf)
+    segs = way_segments(c["feats"]["ways"], c["points"])
+    return polygon_intersect_ways(segs, _LPOLY).select(
+        (F.col("way_id") * 4 + 1).alias("typed_id")
+    )
+
+
+_OSC_NEW_BASE = 9_000_000_000
+
+
+def _osc_text_for(spark, sf) -> str:
+    """Deterministic OsmChange doc derived from the corpus: modify
+    amenity for id%97 nodes, delete id%193 nodes, create 10 nodes cloning
+    the 10 smallest node ids' locations."""
+    from decimal import Decimal
+
+    c = ctx(spark, sf)
+    nodes = c["feats"]["nodes"].select("id", "lon100nd", "lat100nd")
+    mods = [
+        r.id for r in nodes.filter(
+            (F.col("id") % 97 == 0) & (F.col("id") % 193 != 0)
+        ).select("id").orderBy("id").collect()
+    ]
+    dels = [
+        r.id
+        for r in nodes.filter(F.col("id") % 193 == 0)
+        .select("id").orderBy("id").collect()
+    ]
+    clones = nodes.orderBy("id").limit(10).collect()
+
+    def deg(v100nd: int) -> str:
+        return str(Decimal(int(v100nd)) / Decimal(10_000_000))
+
+    parts = ['<osmChange version="0.6">', "<create>"]
+    for j, r in enumerate(clones):
+        parts.append(
+            f'<node id="{_OSC_NEW_BASE + j}" version="1" '
+            f'lat="{deg(r.lat100nd)}" lon="{deg(r.lon100nd)}">'
+            f'<tag k="amenity" v="bench_cafe"/></node>'
+        )
+    parts.append("</create><modify>")
+    for i in mods:
+        parts.append(
+            f'<node id="{i}" version="2"><tag k="amenity" v="fountain"/></node>'
+        )
+    parts.append("</modify><delete>")
+    for i in dels:
+        parts.append(f'<node id="{i}" version="3"/>')
+    parts.append("</delete></osmChange>")
+    return "".join(parts)
+
+
+def _q_s8_osc_roundtrip(spark, sf):
+    """S8 end-to-end: .osc file → parse → creates routed through
+    assignment → MERGE into the store → affected rows."""
+    import pathlib
+
+    from geodesk_gol_spark.streaming.osc import parse_osc
+    from geodesk_gol_spark.streaming.update import merge_changes
+
+    c = ctx(spark, sf)
+    oscdir = pathlib.Path("/root/repo/.gatecache/osc")
+    oscdir.mkdir(parents=True, exist_ok=True)
+    path = oscdir / (pathlib.Path(sf.rstrip("/")).name + ".osc")
+    path.write_text(_osc_text_for(spark, sf))
+
+    changes = parse_osc(spark, str(path))
+    # route creates through projection + tile assignment (J1 on new coords)
+    proj = changes.selectExpr(
+        "*",
+        f"{sqlgen.cell_expr(sqlgen.x_expr('lon100nd'))} AS cell_col",
+        f"{sqlgen.cell_expr(sqlgen.y_expr('lat100nd'))} AS cell_row",
+    )
+    assigned = c["catalog"].assign(
+        proj.filter(F.col("op") == "create")
+    ).select("typed_id", F.col("tile_id").alias("new_tile"))
+    ch = changes.join(assigned, "typed_id", "left").withColumn(
+        "tile_id", F.col("new_tile")
+    ).select("typed_id", "id", "op", "revision", "change_seq", "tags",
+             "tile_id")
+
+    store_nodes = c["store"].filter(
+        (F.col("ftype") == 0) & ~F.col("is_ghost")
+    ).select("typed_id", "id", "tags", "tile_id")
+    merged = merge_changes(store_nodes, ch)
+    return merged.filter(
+        (F.col("id") % 97 == 0) | (F.col("id") % 193 == 0)
+        | (F.col("id") >= _OSC_NEW_BASE)
+    ).select(
+        "typed_id",
+        F.col("tags")["amenity"].alias("amenity"),
+        "tile_id",
     )
 
 
@@ -390,11 +515,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_duplicate_nodes": _q_a9_duplicate_nodes,
         "a9_orphan_nodes": _q_a9_orphan_nodes,
         "j7_exports": _q_j7_exports,
+        "j8_foreign_refs": _q_j8_foreign_refs,
         "o4_tile_order": _q_o4_tile_order,
         "p1_goql_highway_names": _q_p1_goql_highway_names,
         "p1_goql_union": _q_p1_goql_union,
         "p2_bbox_query": _q_p2_bbox_query,
         "p3_polygon_query": _q_p3_polygon_query,
+        "p3_polygon_ways": _q_p3_polygon_ways,
+        "s8_osc_roundtrip": _q_s8_osc_roundtrip,
         "f7_area_ways": _q_f7_area_ways,
         "f8_closed_rings": _q_f8_closed_rings,
         "f9_geojson_cafes": _q_f9_geojson_cafes,
@@ -505,7 +633,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM ({sqlgen.way_members_select()}) wm
                 WHERE wm.node_id = n.id)
         """,
-        "j7_exports": _ORACLE_EXPORTS,
+        "j7_exports": _ORACLE_J7,
+        "j8_foreign_refs": _ORACLE_J8,
         "o4_tile_order": _ORACLE_O4,
         "p1_goql_highway_names": f"""
             SELECT id * 4 + 1 AS typed_id FROM ({sqlgen.ways_select()})
@@ -520,6 +649,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE boundary = 'administrative'
         """,
         "p2_bbox_query": _ORACLE_P2,
+        "s8_osc_roundtrip": _prefix(cell_tile=True) + f"""
+            SELECT n.id * 4 AS typed_id, 'fountain' AS amenity,
+                   ct.tile_id AS tile_id
+            FROM nodes n
+            JOIN cell_tile ct ON ct.c = n.cell_col AND ct.r = n.cell_row
+            WHERE n.id % 97 = 0 AND n.id % 193 <> 0
+            UNION ALL
+            SELECT ({_OSC_NEW_BASE} + f.j) * 4 AS typed_id,
+                   'bench_cafe' AS amenity, ct.tile_id AS tile_id
+            FROM (SELECT id, cell_col, cell_row,
+                         row_number() OVER (ORDER BY id) - 1 AS j
+                  FROM nodes ORDER BY id LIMIT 10) f
+            JOIN cell_tile ct ON ct.c = f.cell_col AND ct.r = f.cell_row
+        """,
+        "p3_polygon_ways": f"""
+            WITH nodes AS ({sqlgen.nodes_select()}),
+            segs AS ({sqlgen.way_segments_select()})
+            SELECT DISTINCT way_id * 4 + 1 AS typed_id FROM segs
+            WHERE {sqlgen.seg_rect_intersect_expr(
+                'x0', 'y0', 'x1', 'y1', *_LPOLY_RECT_A)}
+               OR {sqlgen.seg_rect_intersect_expr(
+                'x0', 'y0', 'x1', 'y1', *_LPOLY_RECT_B)}
+        """,
         "p3_polygon_query": f"""
             WITH nodes AS ({sqlgen.nodes_select()})
             SELECT id * 4 AS typed_id FROM nodes
@@ -629,20 +781,39 @@ edges AS (
   SELECT rel_id * 4 + 2, member_id * 4 + member_type
   FROM ({sqlgen.super_relation_members_select()})
 ),
-foreign_refs AS (
-  SELECT DISTINCT mh.tile_id AS tile_id, e.m_typed AS typed_id
+tips AS (
+  SELECT typed_id, min(tile_id) AS tip FROM member_homes GROUP BY typed_id
+),
+stubs0 AS (
+  SELECT DISTINCT rh.tile_id AS r_tile, e.ref_typed, e.m_typed
   FROM edges e
-  JOIN member_homes mh ON mh.typed_id = e.m_typed
+  JOIN ref_homes rh ON rh.ref_typed = e.ref_typed
   WHERE NOT EXISTS (
-    SELECT 1 FROM ref_homes rh
-    WHERE rh.ref_typed = e.ref_typed AND rh.tile_id = mh.tile_id)
+    SELECT 1 FROM member_homes mh
+    WHERE mh.typed_id = e.m_typed AND mh.tile_id = rh.tile_id)
+),
+exports AS (
+  SELECT DISTINCT t.tip AS tile_id, s.m_typed AS typed_id
+  FROM stubs0 s JOIN tips t ON t.typed_id = s.m_typed
+),
+exports_tex AS (
+  SELECT tile_id, typed_id,
+         CAST(row_number() OVER (PARTITION BY tile_id ORDER BY typed_id) - 1
+              AS INT) AS tex
+  FROM exports
 )
-SELECT tile_id, typed_id,
-       CAST(row_number() OVER (PARTITION BY tile_id ORDER BY typed_id) - 1
-            AS INT) AS tex
-FROM foreign_refs
 """
 )
+
+_ORACLE_J7 = _ORACLE_EXPORTS + "SELECT tile_id, typed_id, tex FROM exports_tex"
+
+_ORACLE_J8 = _ORACLE_EXPORTS + """
+SELECT s.r_tile AS tile_id, s.ref_typed AS ref_typed,
+       s.m_typed AS member_typed, t.tip AS tip, x.tex AS tex
+FROM stubs0 s
+JOIN tips t ON t.typed_id = s.m_typed
+JOIN exports_tex x ON x.tile_id = t.tip AND x.typed_id = s.m_typed
+"""
 
 _ORACLE_O4 = (
     _prefix(cell_tile=True, whomes=True, rhomes=True)

@@ -33,7 +33,15 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicate: int = 1,
                  build_only: bool = False) -> dict[str, float]:
     """The headline job: docs → features → pyramid → assignment → store
     → GOQL/bbox query (+ kNN unless build_only).  Returns per-stage
-    seconds + row counts."""
+    seconds + row counts.
+
+    Every stage CHECKPOINTS to parquet and the next stage reads it back:
+    (a) the build is resumable per stage (north-rule checkpoint story),
+    and (b) logical plans stay bounded — ``persist()`` caches data but
+    keeps the full plan, and re-analyzing the synth expression tree per
+    downstream action costs more than the data at every SF we run
+    (measured: assign 239s→29s, compile >600s→13s at sf0.1 local[32]).
+    """
     import sys
 
     def log(msg):
@@ -56,14 +64,18 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicate: int = 1,
     t: dict[str, float] = {}
     counts: dict[str, int] = {}
 
+    def ckpt(name: str, df):
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+        return spark.read.parquet(os.path.join(out_dir, name))
+
     t0 = time.time()
-    docs = synth_docs(spark, sf_dir, replicate).persist()
+    docs = ckpt("docs", synth_docs(spark, sf_dir, replicate))
     counts["docs"] = docs.count()
     t["q_synth_docs"] = time.time() - t0
     log(f"synth {t['q_synth_docs']:.1f}s")
 
     t0 = time.time()
-    feats = {k: v.persist() for k, v in parse_features(docs).items()}
+    feats = {k: ckpt(k, v) for k, v in parse_features(docs).items()}
     counts["nodes"] = feats["nodes"].count()
     counts["ways"] = feats["ways"].count()
     counts["relations"] = feats["relations"].count()
@@ -71,7 +83,7 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicate: int = 1,
     log(f"parse {t['q_parse']:.1f}s")
 
     t0 = time.time()
-    proj = with_projection(feats["nodes"]).persist()
+    proj = ckpt("proj", with_projection(feats["nodes"]))
     catalog = build_tile_catalog(proj, BuildSettings.for_fixture(500))
     t["q_pyramid"] = time.time() - t0
     counts["tiles"] = len(catalog.tiles)
@@ -79,19 +91,21 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicate: int = 1,
 
     t0 = time.time()
     asn = assign_features(feats, catalog)
-    ft = asn["feature_tiles"].persist()
+    ft = ckpt("feature_tiles", asn["feature_tiles"])
     counts["feature_tiles"] = ft.count()
+    points = ckpt("points", asn["points"])
+    extents = ckpt("extents", asn["extents"])
     t["q_assign"] = time.time() - t0
     log(f"assign {t['q_assign']:.1f}s rows={counts['feature_tiles']}")
 
     t0 = time.time()
-    rows = compile_feature_rows(
-        ft, asn["points"], asn["extents"],
+    rows = ckpt("rows", compile_feature_rows(
+        ft, points, extents,
         feats["nodes"], feats["ways"], feats["relations"],
-    ).persist()
-    rows.count()
+    ))
     t["q_compile"] = time.time() - t0
     log(f"compile {t['q_compile']:.1f}s")
+    spark.catalog.clearCache()  # drop build-time persists before queries
 
     t0 = time.time()
     write_store(rows, os.path.join(out_dir, "store"))
@@ -112,7 +126,7 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicate: int = 1,
         return t
 
     t0 = time.time()
-    pts = asn["points"].select("id", "x", "y")
+    pts = points.select("id", "x", "y")
     qs = pts.filter(F.col("id") % 499 == 0).select(
         F.col("id").alias("q_id"), F.col("x").alias("qx"), F.col("y").alias("qy")
     )
@@ -179,7 +193,10 @@ def main() -> None:
         # internal: single isolated run (fresh JVM), prints JSON
         i = sys.argv.index("--one")
         n, rep = int(sys.argv[i + 1]), int(sys.argv[i + 2])
-        res = one_run(f"local[{n}]", sf_dir, max(8, 2 * n), rep, build_only=True)
+        # shuffle partitions scale with cores (>=4x) so the small run is
+        # not parallelism-starved and the large run has slots to fill;
+        # AQE coalesces when partitions come out tiny
+        res = one_run(f"local[{n}]", sf_dir, 4 * n, rep, build_only=True)
         print("RESULT " + json.dumps(res))
         return
     if "--scaling" in sys.argv:

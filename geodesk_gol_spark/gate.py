@@ -44,9 +44,9 @@ _PKG = Path(__file__).resolve().parent
 
 # context frames persisted to / loaded from the disk cache
 _FRAMES = (
-    "docs", "nodes", "ways", "relations", "proj", "points", "node_tiles",
+    "docs", "nodes", "ways", "relations", "media", "proj", "points", "node_tiles",
     "way_homes", "way_ghosts", "rel_homes", "extents", "feature_tiles",
-    "unresolved_relations", "store", "exports",
+    "unresolved_relations", "store", "exports", "stubs",
 )
 
 
@@ -101,6 +101,11 @@ def _materialize(spark: SparkSession, sf_dir: str) -> Path:
         asn["node_tiles"].select("typed_id", "tile_id"),
         asn["way_homes"], asn["rel_homes"],
     ))
+    w("stubs", V.foreign_ref_stubs(
+        feats["ways"], feats["relations"],
+        asn["node_tiles"].select("typed_id", "tile_id"),
+        asn["way_homes"], asn["rel_homes"],
+    ))
     catalog.tiles.to_parquet(tmp / "catalog_tiles.parquet")
     spark.catalog.clearCache()
     if d.exists():  # lost a race with another builder — theirs is fine
@@ -131,6 +136,7 @@ def ctx(spark: SparkSession, sf_dir: str) -> dict:
             "nodes": frames["nodes"],
             "ways": frames["ways"],
             "relations": frames["relations"],
+            "media": frames["media"],
         },
         "proj": frames["proj"],
         "points": frames["points"],
@@ -147,6 +153,7 @@ def ctx(spark: SparkSession, sf_dir: str) -> dict:
         },
         "store": frames["store"],
         "exports": frames["exports"],
+        "stubs": frames["stubs"],
     }
     _CTX[key] = c
     return c

@@ -72,20 +72,14 @@ def missing_member_tags(extents: DataFrame) -> DataFrame:
     )
 
 
-def export_tables(
+def _ref_frames(
     ways: DataFrame,
     relations: DataFrame,
     node_tiles: DataFrame,
     way_homes: DataFrame,
     rel_homes: DataFrame,
-) -> DataFrame:
-    """J7/J8: per-tile export table (tile_id, tex, typed_id).
-
-    A feature is *exported* from its home tile t when some referencing
-    feature's home-tile set does not include t (the referencing tile will
-    hold a foreign stub).  TEX = dense per-tile index ordered by typed_id.
-    """
-    # reference edges: (referrer typed_id, member typed_id)
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(edges, member_homes, ref_homes) shared by J7/J8."""
     way_edges = ways.select(
         (F.col("id") * 4 + TYPE_WAY).alias("ref_typed"),
         F.explode("node_ids").alias("mid"),
@@ -111,20 +105,96 @@ def export_tables(
         .withColumnRenamed("typed_id", "ref_typed")
         .withColumnRenamed("tile_id", "ref_tile")
     )
+    return edges, member_homes, ref_homes
 
-    # (member home tile, member) pairs referenced from a different tile:
-    # anti-join on (referrer, member-home-tile) ∈ referrer's home set
-    ref_member_tiles = (
-        edges.join(member_homes, "m_typed")
+
+def _stub_pairs(
+    edges: DataFrame, member_homes: DataFrame, ref_homes: DataFrame
+) -> DataFrame:
+    """(r_tile, ref_typed, m_typed, tip): every referencing-copy tile that
+    must hold a foreign stub for a member not locally present; the stub
+    targets tip = the member's deterministic export home (min tile id —
+    our spec of the reference's single stub target per foreign feature,
+    Compiler.cpp:88-233)."""
+    member_tip = member_homes.groupBy("m_typed").agg(
+        F.min("m_tile").alias("tip")
+    )
+    return (
+        edges.join(ref_homes, "ref_typed")
         .join(
-            ref_homes.withColumnRenamed("ref_tile", "m_tile"),
-            ["ref_typed", "m_tile"],
+            member_homes.select(
+                "m_typed", F.col("m_tile").alias("ref_tile")
+            ),
+            ["m_typed", "ref_tile"],
             "left_anti",
         )
-        .select(F.col("m_tile").alias("tile_id"), F.col("m_typed").alias("typed_id"))
+        .select(
+            F.col("ref_tile").alias("r_tile"), "ref_typed", "m_typed"
+        )
+        .distinct()
+        .join(member_tip, "m_typed")
+    )
+
+
+def export_tables(
+    ways: DataFrame,
+    relations: DataFrame,
+    node_tiles: DataFrame,
+    way_homes: DataFrame,
+    rel_homes: DataFrame,
+) -> DataFrame:
+    """J7: per-tile export table (tile_id, tex, typed_id).
+
+    A feature is *exported* from its designated home tile (tip) when some
+    referencing feature copy lives in a tile without a local copy of it
+    (that referencing tile holds a foreign (TIP, TEX) stub, J8).
+    TEX = dense per-tile index ordered by typed_id (deterministic, the
+    reference's sorted-pile order, O4).
+    """
+    edges, member_homes, ref_homes = _ref_frames(
+        ways, relations, node_tiles, way_homes, rel_homes
+    )
+    exported = (
+        _stub_pairs(edges, member_homes, ref_homes)
+        .select(F.col("tip").alias("tile_id"), F.col("m_typed").alias("typed_id"))
         .distinct()
     )
     w = Window.partitionBy("tile_id").orderBy("typed_id")
-    return ref_member_tiles.withColumn(
+    return exported.withColumn(
         "tex", (F.row_number().over(w) - 1).cast("int")
+    )
+
+
+def foreign_ref_stubs(
+    ways: DataFrame,
+    relations: DataFrame,
+    node_tiles: DataFrame,
+    way_homes: DataFrame,
+    rel_homes: DataFrame,
+) -> DataFrame:
+    """J8: foreign-reference stub rows materialized into referencing tiles.
+
+    Output (tile_id, ref_typed, member_typed, tip, tex): tile ``tile_id``
+    holds a stub resolving ``member_typed`` to its export home ``tip`` at
+    export index ``tex`` — with these rows the per-tile store is
+    reference-closed: every member of every local feature is resolvable
+    from the tile itself plus stubs (reference foreign-ref resolution,
+    src/build/compile/Compiler.cpp:88-233)."""
+    edges, member_homes, ref_homes = _ref_frames(
+        ways, relations, node_tiles, way_homes, rel_homes
+    )
+    stubs = _stub_pairs(edges, member_homes, ref_homes)
+    exports = export_tables(
+        ways, relations, node_tiles, way_homes, rel_homes
+    ).select(
+        F.col("tile_id").alias("tip"),
+        F.col("typed_id").alias("m_typed"),
+        "tex",
+    )
+    return stubs.join(exports, ["tip", "m_typed"]).select(
+        F.col("r_tile").alias("tile_id"),
+        "ref_typed",
+        F.col("m_typed").alias("member_typed"),
+        "tip",
+        "tex",
     )

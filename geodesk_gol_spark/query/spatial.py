@@ -110,6 +110,110 @@ def polygon_filter(store: DataFrame, catalog: TileCatalog, poly_xy) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# polygon intersects over way geometry (P3/J9 — true intersects)
+# ---------------------------------------------------------------------------
+
+def way_segments(ways: DataFrame, points: DataFrame) -> DataFrame:
+    """(way_id, seq, x0, y0, x1, y1): consecutive way-vertex segments.
+
+    Explode the node list, join coordinates, pair consecutive vertices
+    with lead() over the member order — one shuffle join + one window,
+    both keyed by way, so the stage partitions cleanly at any scale.
+    """
+    from pyspark.sql import Window
+
+    wm = ways.select(
+        F.col("id").alias("way_id"),
+        F.posexplode("node_ids").alias("seq", "node_id"),
+    )
+    j = wm.join(
+        points.select(F.col("id").alias("node_id"), "x", "y"), "node_id"
+    )
+    w = Window.partitionBy("way_id").orderBy("seq")
+    return (
+        j.select(
+            "way_id", "seq",
+            F.col("x").cast("double").alias("x0"),
+            F.col("y").cast("double").alias("y0"),
+            F.lead(F.col("x").cast("double")).over(w).alias("x1"),
+            F.lead(F.col("y").cast("double")).over(w).alias("y1"),
+        )
+        .filter(F.col("x1").isNotNull())
+    )
+
+
+def segment_intersects_polygon_udf(poly_xy):
+    """Pandas UDF: True where segment (x0,y0)-(x1,y1) crosses the polygon
+    boundary or starts inside it (even-odd interior).
+
+    Matches the reference's -a intersects semantics over line geometry
+    (/root/reference/src/gol/util/PolygonParser.cpp:9-24, ring handling
+    :67-80): a way intersects iff any segment does.  Vectorized per
+    polygon edge over the Arrow batch — O(edges) numpy passes, no
+    per-row Python.  Pass half-integer polygon vertices so integer
+    feature coordinates never produce degenerate (collinear / on-vertex)
+    configurations.
+    """
+    px = np.array([p[0] for p in poly_xy], dtype=np.float64)
+    py = np.array([p[1] for p in poly_xy], dtype=np.float64)
+    if px[0] != px[-1] or py[0] != py[-1]:
+        px = np.append(px, px[0])
+        py = np.append(py, py[0])
+
+    @F.pandas_udf(BooleanType())
+    def hit(x0: pd.Series, y0: pd.Series,
+            x1: pd.Series, y1: pd.Series) -> pd.Series:
+        ax = x0.to_numpy(np.float64)
+        ay = y0.to_numpy(np.float64)
+        bx = x1.to_numpy(np.float64)
+        by = y1.to_numpy(np.float64)
+        out = np.zeros(len(ax), dtype=bool)
+        inside = np.zeros(len(ax), dtype=bool)
+        for i in range(len(px) - 1):
+            qx0, qy0, qx1, qy1 = px[i], py[i], px[i + 1], py[i + 1]
+            ex, ey = qx1 - qx0, qy1 - qy0
+            # proper segment-segment crossing: opposite orientation signs
+            d1 = ex * (ay - qy0) - ey * (ax - qx0)
+            d2 = ex * (by - qy0) - ey * (bx - qx0)
+            d3 = (bx - ax) * (qy0 - ay) - (by - ay) * (qx0 - ax)
+            d4 = (bx - ax) * (qy1 - ay) - (by - ay) * (qx1 - ax)
+            out |= (d1 * d2 < 0) & (d3 * d4 < 0)
+            # even-odd PIP of the segment start
+            crosses = ((qy0 > ay) != (qy1 > ay)) & (
+                ax < (qx1 - qx0) * (ay - qy0) / (qy1 - qy0) + qx0
+            )
+            inside ^= crosses
+        return pd.Series(out | inside)
+
+    return hit
+
+
+def polygon_intersect_ways(segments: DataFrame, poly_xy) -> DataFrame:
+    """Way ids whose polyline intersects a (possibly concave) polygon.
+
+    Segment-bbox vs polygon-bbox pre-prune stays JVM-side (whole-stage
+    codegen); only surviving segments reach the vectorized UDF; one
+    aggregate dedupes to way grain.  A way fully containing the polygon
+    without touching it does NOT intersect under line semantics (the
+    reference treats -a areas separately).
+    """
+    minx = min(p[0] for p in poly_xy)
+    maxx = max(p[0] for p in poly_xy)
+    miny = min(p[1] for p in poly_xy)
+    maxy = max(p[1] for p in poly_xy)
+    pruned = segments.filter(
+        (F.greatest("x0", "x1") >= minx) & (F.least("x0", "x1") <= maxx)
+        & (F.greatest("y0", "y1") >= miny) & (F.least("y0", "y1") <= maxy)
+    )
+    hit = segment_intersects_polygon_udf(poly_xy)
+    return (
+        pruned.filter(hit(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1")))
+        .select("way_id")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # kNN (north-rule extension; FIXTURES.md §5)
 # ---------------------------------------------------------------------------
 
@@ -137,32 +241,15 @@ def knn_bruteforce(
     )
 
 
-def knn_cell_rings(
-    points: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    ring: int = 2,
-    cell_bits: int = 15,
-) -> DataFrame:
-    """Scale path: candidate generation by cell-neighbor rings, exact
-    re-rank, provably exact via a distance-bound fallback.
-
-    Candidates = points whose candidate-grid cell (edge ``2^cell_bits``
-    world units — much finer than the pyramid's zoom-12 cells, so dense
-    clusters don't explode the candidate set) is within ``ring`` cells of
-    the query's cell: a (2r+1)² broadcast explode — the cell-neighbor-ring
-    join of the north rule.
-
-    Exactness guarantee: any point outside the ring block is at distance
-    > (ring-1)*cell from the query, so a query's ring result is final iff
-    it found k candidates AND its k-th distance ≤ ((ring-1)*cell)².
-    All other queries fall back to the brute-force path.
-    """
+def _ring_pass(points: DataFrame, queries: DataFrame, k: int, ring: int,
+               cell_bits: int) -> tuple[DataFrame, DataFrame]:
+    """One candidate-ring pass: (ranked top-k, q_ids provably final)."""
     from pyspark.sql import Window
 
     cell = 1 << cell_bits
     safe_sq = ((ring - 1) * cell) ** 2
-    offs = [(dc, dr) for dc in range(-ring, ring + 1) for dr in range(-ring, ring + 1)]
+    offs = [(dc, dr) for dc in range(-ring, ring + 1)
+            for dr in range(-ring, ring + 1)]
     off_df = queries.sparkSession.createDataFrame(offs, "dc int, dr int")
     qcells = (
         queries.withColumn("qc", F.floor(F.col("qx") / cell).cast("int"))
@@ -171,9 +258,9 @@ def knn_cell_rings(
         .select("q_id", "qx", "qy", (F.col("qc") + F.col("dc")).alias("cc"),
                 (F.col("qr") + F.col("dr")).alias("cr"))
     )
-    pts = points.withColumn("cc", F.floor(F.col("x") / cell).cast("int")).withColumn(
-        "cr", F.floor(F.col("y") / cell).cast("int")
-    )
+    pts = points.withColumn(
+        "cc", F.floor(F.col("x") / cell).cast("int")
+    ).withColumn("cr", F.floor(F.col("y") / cell).cast("int"))
     cand = pts.join(F.broadcast(qcells), ["cc", "cr"])
     d = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
         F.col("y") - F.col("qy")
@@ -193,9 +280,49 @@ def knn_cell_rings(
         .filter((F.col("got") == k) & (F.col("kth") <= safe_sq))
         .select("q_id")
     )
-    full = ranked.join(sure, "q_id", "left_semi")
-    unsure_qs = queries.join(sure, "q_id", "left_anti")
-    if unsure_qs.isEmpty():
-        return full
-    fb = knn_bruteforce(points, unsure_qs, k)
-    return full.unionByName(fb)
+    return ranked, sure
+
+
+def knn_cell_rings(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    ring: int = 2,
+    cell_bits: int = 15,
+    escalations: int = 2,
+) -> DataFrame:
+    """Scale path: candidate generation by cell-neighbor rings, exact
+    re-rank, provably exact via distance-bound ring ESCALATION.
+
+    Candidates = points whose candidate-grid cell (edge ``2^cell_bits``
+    world units — much finer than the pyramid's zoom-12 cells, so dense
+    clusters don't explode the candidate set) is within ``ring`` cells of
+    the query's cell: a (2r+1)² broadcast explode — the cell-neighbor-ring
+    join of the north rule.
+
+    Exactness guarantee: any point outside the ring block is at distance
+    > (ring-1)*cell from the query, so a query's ring result is final iff
+    it found k candidates AND its k-th distance ≤ ((ring-1)*cell)².
+    Unresolved queries ESCALATE to a 2× ring (bounded passes over an
+    ever-shrinking query set — never a cartesian product over the full
+    point set); only queries still open after ``escalations`` doublings
+    take the brute-force path, and that set is tiny by construction
+    (sparse-world queries with < k points within ~2^(bits+ring) units).
+    """
+    remaining = queries
+    parts: list[DataFrame] = []
+    r = ring
+    for _ in range(escalations + 1):
+        ranked, sure = _ring_pass(points, remaining, k, r, cell_bits)
+        parts.append(ranked.join(sure, "q_id", "left_semi"))
+        remaining = remaining.join(sure, "q_id", "left_anti").localCheckpoint()
+        if remaining.isEmpty():
+            remaining = None
+            break
+        r *= 2
+    if remaining is not None:
+        parts.append(knn_bruteforce(points, remaining, k))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

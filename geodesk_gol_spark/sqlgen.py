@@ -418,6 +418,60 @@ def corner_cell_expr(colz: str, zstar: str = "zstar") -> str:
     return f"CASE {cases} END"
 
 
+def way_segments_select(nodes_cte: str = "nodes",
+                        orders: str = "orders",
+                        lineitem: str = "lineitem") -> str:
+    """(way_id, seq, x0, y0, x1, y1): consecutive way-vertex segments.
+
+    Shared fragment for the P3 polygon-intersects oracle; consecutive
+    vertices pair up with lead() over the member order.
+    """
+    return f"""SELECT way_id, seq, x0, y0, x1, y1 FROM (
+  SELECT wm.way_id AS way_id, wm.seq AS seq,
+         CAST(n.x AS DOUBLE) AS x0, CAST(n.y AS DOUBLE) AS y0,
+         lead(CAST(n.x AS DOUBLE)) OVER
+           (PARTITION BY wm.way_id ORDER BY wm.seq) AS x1,
+         lead(CAST(n.y AS DOUBLE)) OVER
+           (PARTITION BY wm.way_id ORDER BY wm.seq) AS y1
+  FROM ({way_members_select(orders, lineitem)}) wm
+  JOIN {nodes_cte} n ON n.id = wm.node_id
+) WHERE x1 IS NOT NULL"""
+
+
+def seg_rect_intersect_expr(
+    x0: str, y0: str, x1: str, y1: str,
+    rx0: float, ry0: float, rx1: float, ry1: float,
+) -> str:
+    """Liang–Barsky segment-vs-axis-aligned-rect intersection as shared SQL.
+
+    All arithmetic is IEEE + - * / and least/greatest on DOUBLE, so Spark
+    and DuckDB agree bit-for-bit (sqlgen module docstring).  Rect bounds
+    should be half-integers (…​.5) so integer feature coordinates never sit
+    exactly on a boundary and open/closed conventions cannot diverge.
+    """
+    dx = f"({x1} - {x0})"
+    dy = f"({y1} - {y0})"
+
+    def slab(lo: float, hi: float, a: str, d: str) -> tuple[str, str]:
+        t_lo = (
+            f"CASE WHEN {d} = 0.0 THEN "
+            f"CASE WHEN {a} >= {lo} AND {a} <= {hi} THEN 0.0 ELSE 2.0 END "
+            f"ELSE least(({lo} - {a}) / {d}, ({hi} - {a}) / {d}) END"
+        )
+        t_hi = (
+            f"CASE WHEN {d} = 0.0 THEN "
+            f"CASE WHEN {a} >= {lo} AND {a} <= {hi} THEN 1.0 ELSE -1.0 END "
+            f"ELSE greatest(({lo} - {a}) / {d}, ({hi} - {a}) / {d}) END"
+        )
+        return t_lo, t_hi
+
+    tx_lo, tx_hi = slab(rx0, rx1, x0, dx)
+    ty_lo, ty_hi = slab(ry0, ry1, y0, dy)
+    return (
+        f"(greatest({tx_lo}, {ty_lo}, 0.0) <= least({tx_hi}, {ty_hi}, 1.0))"
+    )
+
+
 def coord_str_expr(v100nd: str, precision: int = 7) -> str:
     """Exact decimal rendering of a 100-nanodegree int coordinate.
 

@@ -54,10 +54,13 @@ def search_affected_tiles(changes: DataFrame, feature_tiles: DataFrame) -> DataF
 def merge_changes(store_rows: DataFrame, changes: DataFrame) -> DataFrame:
     """Apply a change frame to store rows (MERGE INTO emulation).
 
-    changes: (typed_id, op, revision, change_seq, tags) — deletes drop
-    every copy (home + ghost); modifies replace tags; creates are
-    upserted (caller must supply tile assignments for new features by
-    running them through the assignment pipeline first).
+    changes: (typed_id, op, revision, change_seq, tags, + any store
+    columns for creates, e.g. tile_id from the assignment pipeline) —
+    deletes drop every copy (home + ghost); modifies replace tags;
+    creates not present in the store are INSERTED (reference applies
+    adds via TileCompiler.addChanges, src/change/Updater.cpp:68-84).
+    A create whose typed_id already exists behaves as a modify, matching
+    the reference's idempotent re-apply of a replication diff.
     """
     latest = latest_changes(changes)
     deletes = latest.filter(F.col("op") == "delete").select("typed_id")
@@ -65,12 +68,27 @@ def merge_changes(store_rows: DataFrame, changes: DataFrame) -> DataFrame:
 
     surviving = store_rows.join(deletes, "typed_id", "left_anti")
     modified = (
-        surviving.alias("s")
-        .join(upserts.select("typed_id", "tags").alias("u"), "typed_id", "left")
-        .withColumn("tags", F.coalesce(F.col("u.tags"), F.col("s.tags")))
-        .drop(F.col("u.tags"))
+        surviving
+        .join(
+            upserts.select("typed_id", F.col("tags").alias("_new_tags")),
+            "typed_id",
+            "left",
+        )
+        .withColumn("tags", F.coalesce(F.col("_new_tags"), F.col("tags")))
+        .drop("_new_tags")
     )
-    return modified
+    # INSERT arm: creates whose typed_id is not stored become new rows,
+    # carrying whatever store columns the caller attached (tile_id etc.);
+    # missing columns null-fill so the union stays schema-stable.
+    inserts = (
+        upserts.filter(F.col("op") == "create")
+        .join(store_rows.select("typed_id"), "typed_id", "left_anti")
+        .drop("op", "revision", "change_seq")
+    )
+    common = [c for c in inserts.columns if c in modified.columns]
+    return modified.unionByName(
+        inserts.select(*common), allowMissingColumns=True
+    )
 
 
 def apply_changes_streaming(

@@ -42,7 +42,7 @@ def test_change_merge_semantics(spark):
             (4, "modify", 2, 1, {"a": "new"}),
             (4, "modify", 1, 1, {"a": "old"}),   # superseded revision
             (8, "delete", 1, 1, None),
-            (16, "create", 1, 1, {"d": "4"}),    # unknown id: no-op on store
+            (16, "create", 1, 1, {"d": "4"}),    # unknown id: INSERTED
         ],
         "typed_id long, op string, revision int, change_seq int, "
         "tags map<string,string>",
@@ -50,4 +50,4 @@ def test_change_merge_semantics(spark):
     latest = {r.typed_id: r.op for r in latest_changes(changes).collect()}
     assert latest == {4: "modify", 8: "delete", 16: "create"}
     merged = {r.typed_id: r.tags for r in merge_changes(store, changes).collect()}
-    assert merged == {4: {"a": "new"}, 12: {"c": "3"}}
+    assert merged == {4: {"a": "new"}, 12: {"c": "3"}, 16: {"d": "4"}}
