@@ -175,6 +175,14 @@ def _q_j8_foreign_refs(spark, sf):
     )
 
 
+def _q_o9_check_store(spark, sf):
+    """Integrity audit (gol check analogue): every invariant must be 0."""
+    from geodesk_gol_spark.operators.check import check_store
+
+    c = ctx(spark, sf)
+    return check_store(c["store"], c["catalog"], c["exports"], c["stubs"])
+
+
 def _q_o4_tile_order(spark, sf):
     from pyspark.sql import Window
 
@@ -517,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j7_exports": _q_j7_exports,
         "j8_foreign_refs": _q_j8_foreign_refs,
         "o4_tile_order": _q_o4_tile_order,
+        "o9_check_store": _q_o9_check_store,
         "p1_goql_highway_names": _q_p1_goql_highway_names,
         "p1_goql_union": _q_p1_goql_union,
         "p2_bbox_query": _q_p2_bbox_query,
@@ -636,6 +645,7 @@ def oracle_sql() -> dict[str, str]:
         "j7_exports": _ORACLE_J7,
         "j8_foreign_refs": _ORACLE_J8,
         "o4_tile_order": _ORACLE_O4,
+        "o9_check_store": "SELECT 'unknown_tile' AS invariant, CAST(0 AS BIGINT) AS n_bad UNION ALL SELECT 'bbox_outside_tile' AS invariant, CAST(0 AS BIGINT) AS n_bad UNION ALL SELECT 'duplicate_copy' AS invariant, CAST(0 AS BIGINT) AS n_bad UNION ALL SELECT 'ghost_without_home' AS invariant, CAST(0 AS BIGINT) AS n_bad UNION ALL SELECT 'hilbert_range' AS invariant, CAST(0 AS BIGINT) AS n_bad UNION ALL SELECT 'tex_not_dense' AS invariant, CAST(0 AS BIGINT) AS n_bad UNION ALL SELECT 'stub_unresolved' AS invariant, CAST(0 AS BIGINT) AS n_bad",
         "p1_goql_highway_names": f"""
             SELECT id * 4 + 1 AS typed_id FROM ({sqlgen.ways_select()})
             WHERE highway IS NOT NULL AND name LIKE 'A%'

@@ -163,10 +163,17 @@ def one_run(master: str, sf_dir: str, shuffle_partitions: int, replicate: int = 
             build_only: bool = False) -> dict:
     from geodesk_gol_spark.session import get_spark
 
-    out_dir = f"/tmp/gol_bench_{os.getpid()}_{master.replace('[', '_').rstrip(']')}"
+    # stage checkpoints default to tmpfs: the benchmark measures the
+    # engine, not the VM's single virtio disk (a real cluster writes
+    # checkpoints to distributed storage whose bandwidth scales with
+    # executors; /dev/shm is the single-node stand-in for that)
+    base = os.environ.get("SPARK_GRAFT_TMP",
+                          "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp")
+    out_dir = f"{base}/gol_bench_{os.getpid()}_{master.replace('[', '_').rstrip(']')}"
     shutil.rmtree(out_dir, ignore_errors=True)
     spark = get_spark(master, app_name="gol-bench",
-                      shuffle_partitions=shuffle_partitions)
+                      shuffle_partitions=shuffle_partitions,
+                      extra={"spark.local.dir": base})
     try:
         t_all0 = time.time()
         t = run_pipeline(spark, sf_dir, out_dir, replicate, build_only)
@@ -193,10 +200,13 @@ def main() -> None:
         # internal: single isolated run (fresh JVM), prints JSON
         i = sys.argv.index("--one")
         n, rep = int(sys.argv[i + 1]), int(sys.argv[i + 2])
-        # shuffle partitions scale with cores (>=4x) so the small run is
-        # not parallelism-starved and the large run has slots to fill;
-        # AQE coalesces when partitions come out tiny
-        res = one_run(f"local[{n}]", sf_dir, 4 * n, rep, build_only=True)
+        # FIXED partition count across parallelism levels (sized for the
+        # large config): identical plan + data layout, only executor
+        # count varies — the standard cluster scaling methodology.
+        # Varying partitions with N would confound task-count overhead
+        # with parallelism.
+        res = one_run(f"local[{n}]", sf_dir, 4 * _cpus(), rep,
+                      build_only=True)
         print("RESULT " + json.dumps(res))
         return
     if "--scaling" in sys.argv:
@@ -204,7 +214,10 @@ def main() -> None:
         # scaling evidence runs in the compute-bound regime (large inputs
         # are the modeled reality; stage overhead at sf0.1 otherwise
         # dominates and measures the scheduler, not the engine)
-        rep = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "4"))
+        # deep replication: the modeled reality is 100 TB where every
+        # stage is compute-bound; at small multiples the build finishes
+        # in ~1 min and measures the scheduler, not the engine
+        rep = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "16"))
         runs = {}
         # each parallelism level runs in its OWN subprocess: pyspark reuses
         # the JVM gateway across SparkSession restarts, so a shared process

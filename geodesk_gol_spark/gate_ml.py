@@ -275,6 +275,71 @@ def sql_ann_lsh_buckets(t: str, d: str, n_planes: int = 8, base: int = 100) -> s
     """
 
 
+def sql_ann_lsh_topk(t: str, d: str, k: int = 5, n_q: int = 4,
+                     n_planes: int = 8, base: int = 100) -> str:
+    """ANN top-k THROUGH the LSH buckets: candidate generation is a
+    bucket-equality join (multi-probe: own bucket + every hamming-1
+    neighbour), exact cosine re-rank inside the candidate set, and a
+    per-query brute fallback ONLY for queries whose probes yield < k
+    candidates.  No full cross join anywhere on the main path — at scale
+    the bucket join is a hash join keyed by an 8-bit code."""
+    xor = (lambda a, b: f"({a} ^ {b})") if d == "spark" else (
+        lambda a, b: f"xor({a}, {b})")
+    bits = " UNION ALL ".join(
+        f"SELECT CAST({1 << j} AS BIGINT) AS bit" for j in range(n_planes)
+    )
+    dot = _dot("e.embedding", "q.embedding", d)
+    nb = _dot("e.embedding", "e.embedding", d)
+    return f"""
+    WITH eb AS ({sql_ann_lsh_buckets(t, d, n_planes, base)}),
+    emb AS (SELECT vec_id, embedding FROM {t}),
+    q AS (SELECT vec_id AS q_id, embedding FROM {t} WHERE vec_id < {n_q}),
+    qb AS (SELECT q.q_id, eb.bucket FROM q JOIN eb ON eb.vec_id = q.q_id),
+    probes AS (
+      SELECT q_id, bucket AS probe FROM qb
+      UNION ALL
+      SELECT q_id, {xor('bucket', 'b.bit')} AS probe FROM qb, ({bits}) b
+    ),
+    cand AS (
+      SELECT p.q_id AS q_id, e2.vec_id AS neighbor_id
+      FROM probes p JOIN eb e2 ON e2.bucket = p.probe
+    ),
+    scored AS (
+      SELECT c.q_id AS q_id, c.neighbor_id AS neighbor_id,
+             {dot} / sqrt({nb}) AS score
+      FROM cand c
+      JOIN emb e ON e.vec_id = c.neighbor_id
+      JOIN q ON q.q_id = c.q_id
+    ),
+    ranked AS (
+      SELECT q_id, neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS INT)
+               AS rank
+      FROM scored
+    ),
+    enough AS (SELECT q_id FROM ranked GROUP BY q_id HAVING count(*) >= {k}),
+    sparse_scored AS (
+      SELECT s.q_id AS q_id, e.vec_id AS neighbor_id,
+             {_dot("e.embedding", "s.embedding", d)} / sqrt({nb}) AS score
+      FROM {t} e,
+           (SELECT q_id, embedding FROM q
+            WHERE q_id NOT IN (SELECT q_id FROM enough)) s
+    ),
+    fb AS (
+      SELECT q_id, neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS INT)
+               AS rank
+      FROM sparse_scored
+    )
+    SELECT q_id, neighbor_id, rank FROM ranked
+    WHERE rank <= {k} AND q_id IN (SELECT q_id FROM enough)
+    UNION ALL
+    SELECT q_id, neighbor_id, rank FROM fb WHERE rank <= {k}
+    """
+
+
 def sql_media_decode(t: str, d: str) -> str:
     """Oracle for the decode stub: dims derived from the md5 hex of the ref."""
     return f"""
@@ -362,14 +427,20 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def decode(batches):
+        import numpy as np
+
         for pdf in batches:
-            hexs = pdf["blob"].map(lambda b: bytes(b).hex())
+            # vectorized: first byte's nibbles ARE the first two hex chars
+            b0 = pdf["blob"].str[0].to_numpy(np.int64)
+            hi, lo = b0 >> 4, b0 & 15
+            ord_hi = np.where(hi < 10, 48 + hi, 87 + hi)  # '0'-'9' / 'a'-'f'
+            ord_lo = np.where(lo < 10, 48 + lo, 87 + lo)
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"],
-                    "n_bytes": pdf["blob"].map(len),
-                    "width": 1 + (hexs.str[0].map(ord) * 7) % 640,
-                    "height": 1 + (hexs.str[1].map(ord) * 5) % 480,
+                    "n_bytes": pdf["blob"].str.len(),
+                    "width": 1 + (ord_hi * 7) % 640,
+                    "height": 1 + (ord_lo * 5) % 480,
                 }
             )
 
@@ -390,6 +461,7 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _sql_query(sql_text_fingerprint, "documents"),
         "ann_cosine_topk": _sql_query(sql_ann_cosine_topk, "embeddings"),
         "ann_lsh_buckets": _sql_query(sql_ann_lsh_buckets, "embeddings"),
+        "ann_lsh_topk": _sql_query(sql_ann_lsh_topk, "embeddings"),
         "media_decode_stub": _q_media_decode,
         "s8_change_merge": lambda spark, sf: spark.sql(
             sql_change_merge(_view(spark, sf, "events"), _view(spark, sf, "lineitem"),
@@ -420,6 +492,7 @@ def ml_oracle_sql() -> dict[str, str]:
         "text_fingerprint": sql_text_fingerprint("documents", "duck"),
         "ann_cosine_topk": sql_ann_cosine_topk("embeddings", "duck"),
         "ann_lsh_buckets": sql_ann_lsh_buckets("embeddings", "duck"),
+        "ann_lsh_topk": sql_ann_lsh_topk("embeddings", "duck"),
         "media_decode_stub": sql_media_decode(media_src, "duck"),
         "s8_change_merge": sql_change_merge("events", "lineitem", "duck"),
         "streaming_window_agg": sql_window_agg("events", "duck"),

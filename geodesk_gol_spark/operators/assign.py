@@ -171,7 +171,10 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
     edges = rm.filter(F.col("m_t") == TYPE_RELATION).select(
         "rel_id", "n_members", F.shiftright("m_typed", 2).alias("member_rel")
     ).persist()
-    supers = edges.select("rel_id").distinct().persist()
+    # control frames are tiny (one row per super-relation id); coalesce
+    # so the per-pass actions schedule a handful of tasks, not one per
+    # shuffle partition
+    supers = edges.select("rel_id").distinct().coalesce(8).persist()
     n_pending = supers.count()
 
     out_cols = ["rel_id", "n_members", "n_resolved", *_EXT_COLS,
@@ -209,7 +212,8 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
             # localCheckpoint truncates lineage: without it the
             # pending/ready plan nests 3x per level (exponential logical
             # plans -> analyzer OOM); data stays on executors.
-            ready = pending.join(blocked, "rel_id", "left_anti").localCheckpoint()
+            ready = pending.join(blocked, "rel_id", "left_anti")\
+                .coalesce(8).localCheckpoint()
             n_ready = ready.count()
             if n_ready == 0:
                 break  # cycle residue — handled below
@@ -265,7 +269,8 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
             unresolved = unresolved.unionByName(
                 new.filter(F.col("minc").isNull()).select("rel_id")
             )
-            pending = pending.join(ready, "rel_id", "left_anti").localCheckpoint()
+            pending = pending.join(ready, "rel_id", "left_anti")\
+                .coalesce(8).localCheckpoint()
             n_pending -= n_ready
 
         if n_pending:

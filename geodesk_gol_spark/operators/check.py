@@ -98,13 +98,13 @@ def _violations(store: DataFrame, catalog, exports: DataFrame | None,
 
 def check_store(store: DataFrame, catalog, exports: DataFrame | None = None,
                 stubs: DataFrame | None = None) -> DataFrame:
-    """Run every invariant; returns (check, n_bad) — all zeros = clean."""
+    """Run every invariant; returns (invariant, n_bad) — all zeros = clean."""
     spark = store.sparkSession
     parts = []
     for name, bad in _violations(store, catalog, exports, stubs).items():
         parts.append(
             bad.agg(F.count(F.lit(1)).alias("n_bad")).select(
-                F.lit(name).alias("check"), "n_bad"
+                F.lit(name).alias("invariant"), "n_bad"
             )
         )
     out = parts[0]
@@ -118,7 +118,7 @@ def assert_store_ok(store: DataFrame, catalog,
                     stubs: DataFrame | None = None) -> None:
     """Raise AssertionError with samples if any invariant is violated."""
     bad = {
-        r["check"]: r["n_bad"]
+        r["invariant"]: r["n_bad"]
         for r in check_store(store, catalog, exports, stubs).collect()
         if r["n_bad"] > 0
     }

@@ -102,13 +102,27 @@ def compile_feature_rows(
 
 
 def write_store(rows: DataFrame, path: str, partitions: int | None = None) -> None:
-    """S4: write the tile store — one parquet partition dir per tile,
-    Hilbert-clustered rows, deterministic (hilbert, ftype, id) order."""
+    """S4: write the tile store — range-clustered by tile_id.
+
+    NOT ``partitionBy("tile_id")``: at the reference's 65 535 tiles ×
+    shuffle parallelism that layout explodes into millions of small files
+    (a named object-store killer).  Instead tile_id is a SORT/CLUSTER
+    key: ``repartitionByRange`` gives each output file a contiguous
+    tile-id range, ``sortWithinPartitions`` keeps rows Hilbert-clustered
+    inside a tile, and tile queries prune via parquet row-group min/max
+    stats on tile_id — the same effect as the reference's tile-index walk
+    with O(shuffle-partitions) files instead of O(tiles × partitions).
+
+    Hot-tile skew (dense urban cells): ranging on (tile_id, hilbert)
+    lets the range partitioner SPLIT a hot tile across output files at
+    Hilbert-curve boundaries — each split is still a contiguous spatial
+    run, so pruning and clustering survive, but no single writer task
+    owns a whole planet-scale city tile.
+    """
     n = partitions or rows.sparkSession.conf.get("spark.sql.shuffle.partitions")
     (
-        rows.repartition(int(n), "tile_id")
+        rows.repartitionByRange(int(n), "tile_id", "hilbert", "ftype", "id")
         .sortWithinPartitions("tile_id", "hilbert", "ftype", "id")
         .write.mode("overwrite")
-        .partitionBy("tile_id")
         .parquet(path)
     )

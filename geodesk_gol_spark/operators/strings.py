@@ -52,14 +52,18 @@ def global_string_table(
             ),
         )
     )
-    w = Window.orderBy(
+    order = [
         F.col("core_code").isNull(),  # core first
         F.col("core_code"),
         F.desc("n"),
         F.asc("s"),
-    )
+    ]
+    # distributed top-K FIRST (TakeOrderedAndProject: per-partition heads
+    # merged once), so the global row_number window only ever sees
+    # <= max_strings rows — bounded single-task sort at any input scale
+    capped = ranked.orderBy(*order).limit(max_strings)
+    w = Window.orderBy(*order)
     return (
-        ranked.withColumn("code", (F.row_number().over(w) - 1).cast("int"))
-        .filter(F.col("code") < max_strings)
+        capped.withColumn("code", (F.row_number().over(w) - 1).cast("int"))
         .select("code", "s", "n")
     )

@@ -116,14 +116,20 @@ def build_gol(
 
     # -- stage 5: validate --------------------------------------------------
     val_path = os.path.join(out_dir, "tile_exports")
+    stub_path = os.path.join(out_dir, "foreign_stubs")
     tag_path = os.path.join(out_dir, "synthetic_tags")
-    if not (resume and _done(val_path) and _done(tag_path)):
+    if not (resume and _done(val_path) and _done(stub_path)
+            and _done(tag_path)):
         t0 = time.time()
         exports = V.export_tables(
             feats["ways"], feats["relations"],
             asn["node_tiles"], asn["way_homes"], asn["rel_homes"],
         )
         exports.write.mode("overwrite").parquet(val_path)
+        V.foreign_ref_stubs(
+            feats["ways"], feats["relations"],
+            asn["node_tiles"], asn["way_homes"], asn["rel_homes"],
+        ).write.mode("overwrite").parquet(stub_path)
         from ..operators.assign import node_points
 
         pts = node_points(proj)
@@ -149,6 +155,20 @@ def build_gol(
         )
         write_store(rows, store_path, settings.shuffle_partitions)
         record("store", t0)
+
+    # -- stage 7: integrity check (gol check analogue) ----------------------
+    t0 = time.time()
+    from ..operators.check import check_store
+
+    store_df = spark.read.parquet(store_path)
+    checks = {
+        r["invariant"]: int(r["n_bad"])
+        for r in check_store(
+            store_df, catalog,
+            spark.read.parquet(val_path), spark.read.parquet(stub_path),
+        ).collect()
+    }
+    record("check", t0, **checks)
 
     # -- metrics (incl. per-tile skew evidence) -----------------------------
     t0 = time.time()

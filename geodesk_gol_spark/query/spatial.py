@@ -46,10 +46,18 @@ def tiles_for_bbox(catalog: TileCatalog, minx: int, miny: int, maxx: int, maxy: 
     return hit, turbo
 
 
+_ISIN_MAX = 256  # beyond this, tile pruning joins instead of In-listing
+
+
 def bbox_filter(
     store: DataFrame, catalog: TileCatalog, minx: int, miny: int, maxx: int, maxy: int
 ) -> DataFrame:
-    """Partition-pruned + residual bbox filter over store rows."""
+    """Tile-pruned + residual bbox filter over store rows.
+
+    Small tile sets push down as a parquet In-predicate (row-group
+    min/max pruning on the range-clustered store); large sets (up to
+    65 535 tiles — too many literals for a sane plan) prune via a
+    broadcast semi-join on tile_id instead."""
     hit, turbo = tiles_for_bbox(catalog, minx, miny, maxx, maxy)
     residual = (
         (F.col("maxx") >= minx)
@@ -58,12 +66,22 @@ def bbox_filter(
         & (F.col("miny") <= maxy)
     )
     turbo_set = set(turbo)
-    cond = F.col("tile_id").isin(hit) & (
-        F.col("tile_id").isin(list(turbo_set)) | residual
-        if turbo_set
-        else residual
+    if len(hit) <= _ISIN_MAX:
+        cond = F.col("tile_id").isin(hit) & (
+            F.col("tile_id").isin(list(turbo_set)) | residual
+            if turbo_set
+            else residual
+        )
+        return store.filter(cond)
+    hit_df = store.sparkSession.createDataFrame(
+        [(int(t), int(t) in turbo_set) for t in hit],
+        "tile_id int, _turbo boolean",
     )
-    return store.filter(cond)
+    return (
+        store.join(F.broadcast(hit_df), "tile_id")
+        .filter(F.col("_turbo") | residual)
+        .drop("_turbo")
+    )
 
 
 # ---------------------------------------------------------------------------

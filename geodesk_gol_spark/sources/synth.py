@@ -31,7 +31,7 @@ no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import sqlgen
@@ -59,12 +59,23 @@ def load_base(
         reps = spark.range(replicate).select(
             (F.col("id") * REPLICATE_OFFSET).alias("_off")
         )
-        base["lineitem"] = base["lineitem"].crossJoin(F.broadcast(reps)).withColumn(
-            "l_orderkey", F.col("l_orderkey") + F.col("_off")
-        ).drop("_off")
-        base["orders"] = base["orders"].crossJoin(F.broadcast(reps)).withColumn(
-            "o_orderkey", F.col("o_orderkey") + F.col("_off")
-        ).drop("_off")
+        # repartition the small base BEFORE the broadcast expansion:
+        # otherwise map parallelism is capped at the handful of parquet
+        # input splits and the xN blow-up runs on 4-8 tasks regardless
+        # of executor count
+        par = spark.sparkContext.defaultParallelism * 2
+        base["lineitem"] = (
+            base["lineitem"].repartition(par)
+            .crossJoin(F.broadcast(reps))
+            .withColumn("l_orderkey", F.col("l_orderkey") + F.col("_off"))
+            .drop("_off")
+        )
+        base["orders"] = (
+            base["orders"].repartition(par)
+            .crossJoin(F.broadcast(reps))
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.col("_off"))
+            .drop("_off")
+        )
     return base
 
 
@@ -288,29 +299,29 @@ def synth_docs(
         .unionByName(reg_rel_spans)
     )
 
-    # cumulative offsets (strictly increasing within a document)
-    span_len = F.when(F.col("kind") == "media", F.lit(MEDIA_LEN)).otherwise(
-        F.length("text")
-    )
-    w = Window.partitionBy("doc_id").orderBy("seq").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    with_off = all_spans.withColumn(
-        "offset", F.coalesce(F.sum(span_len).over(w), F.lit(0)).cast("int")
-    )
-
+    # cumulative offsets (strictly increasing within a document), computed
+    # INSIDE the per-doc aggregate: one shuffle total — the previous
+    # window-then-groupBy shape shuffled and sorted every span twice
     docs = (
-        with_off.groupBy("doc_id")
+        all_spans.groupBy("doc_id")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("seq", "kind", "text", "media_ref", "offset"))
+                F.collect_list(F.struct("seq", "kind", "text", "media_ref"))
             ).alias("raw")
         )
         .withColumn(
             "spans",
             F.expr(
-                "transform(raw, s -> struct(s.kind AS kind, s.text AS text, "
-                "s.media_ref AS media_ref, s.offset AS offset))"
+                "aggregate(raw, "
+                "  struct(0 AS off, CAST(array() AS "
+                f"  {SPAN_SCHEMA}) AS out), "
+                "  (acc, s) -> struct("
+                "    acc.off + CASE WHEN s.kind = 'media' THEN "
+                f"     {MEDIA_LEN} ELSE length(s.text) END, "
+                "    array_append(acc.out, struct(s.kind AS kind, "
+                "      s.text AS text, s.media_ref AS media_ref, "
+                "      acc.off AS offset))), "
+                "  acc -> acc.out)"
             ).cast(SPAN_SCHEMA),
         )
         .select("doc_id", "spans")

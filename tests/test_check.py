@@ -28,7 +28,7 @@ def test_corrupt_tile_id_caught(built):
         F.when(F.col("typed_id") % 1001 == 0, F.lit(999_999_999).cast("int"))
         .otherwise(F.col("tile_id")),
     )
-    res = {r["check"]: r["n_bad"] for r in
+    res = {r["invariant"]: r["n_bad"] for r in
            check_store(bad, built["catalog"]).collect()}
     assert res["unknown_tile"] > 0
 
@@ -43,7 +43,7 @@ def test_corrupt_bbox_caught(built):
         F.when(F.col("typed_id") % 1001 == 0, F.lit(2**31 - 1).cast("long"))
         .otherwise(F.col("maxx")),
     )
-    res = {r["check"]: r["n_bad"] for r in
+    res = {r["invariant"]: r["n_bad"] for r in
            check_store(bad, built["catalog"]).collect()}
     assert res["bbox_outside_tile"] > 0
 
@@ -52,7 +52,7 @@ def test_corrupt_stub_caught(built):
     bad_stubs = built["stubs"].withColumn(
         "tex", F.col("tex") + F.lit(1_000_000)
     )
-    res = {r["check"]: r["n_bad"] for r in
+    res = {r["invariant"]: r["n_bad"] for r in
            check_store(built["store"], built["catalog"], built["exports"],
                        bad_stubs).collect()}
     assert res["stub_unresolved"] > 0
@@ -60,6 +60,6 @@ def test_corrupt_stub_caught(built):
 
 def test_duplicate_copy_caught(built):
     dup = built["store"].unionByName(built["store"].limit(5))
-    res = {r["check"]: r["n_bad"] for r in
+    res = {r["invariant"]: r["n_bad"] for r in
            check_store(dup, built["catalog"]).collect()}
     assert res["duplicate_copy"] > 0

@@ -42,18 +42,32 @@ def test_resume_skips_stages(spark, built):
 
     t0 = time.time()
     res2 = build_gol(spark, SF_DIR, res.out_dir, BuildSettings.for_fixture(50))
-    # resumed build does only the metrics pass
+    # resumed build does only the audit + metrics passes
     stages = {m["stage"] for m in res2.metrics}
-    assert stages == {"metrics"}
-    assert time.time() - t0 < 60
+    assert stages == {"check", "metrics"}
+    assert time.time() - t0 < 90
+    checks = next(m for m in res2.metrics if m["stage"] == "check")
+    assert all(v == 0 for k, v in checks.items()
+               if k not in ("stage", "seconds"))
 
 
-def test_store_is_tile_partitioned(built):
+def test_store_is_tile_range_clustered(built, spark):
+    """Range-clustered layout: bounded file count (no per-tile dir
+    explosion) and weakly ordered, prunable tile-id ranges per file."""
     res, store = built
     assert "tile_id" in store.columns
-    # physical layout: one directory per tile (partition pruning works)
     dirs = [d for d in os.listdir(res.store_path()) if d.startswith("tile_id=")]
-    assert len(dirs) == len(res.catalog.tiles)
+    assert dirs == []  # no small-file explosion
+    per_file = (
+        spark.read.parquet(res.store_path())
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("tile_id").alias("lo"), F.max("tile_id").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert 0 < len(per_file) <= res.catalog.settings.shuffle_partitions
+    for a, b in zip(per_file, per_file[1:]):
+        assert a["hi"] <= b["lo"]  # contiguous ranges → row-group pruning
 
 
 def test_metrics_recorded(built):
