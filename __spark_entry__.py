@@ -44,6 +44,22 @@ def _prefix(*, cell_tile=False, wext=False, whomes=False, rext=False,
     return "WITH " + ",\n".join(parts) + "\n"
 
 
+def _oracle_cell_ids() -> str:
+    def div(col: str, d: int) -> str:
+        return f"CAST(floor({col} / {d}.0) AS BIGINT)"
+
+    leaf = sqlgen.cell_id_expr("cell_col", "cell_row", 12)
+    z9 = sqlgen.cell_id_expr(div("cell_col", 8), div("cell_row", 8), 9)
+    z6 = sqlgen.cell_id_expr(div("cell_col", 64), div("cell_row", 64), 6)
+    lsb9 = 1 << (2 * (12 - 9))  # sentinel bit value of a z9 id
+    return f"""
+    SELECT id, {leaf} AS cell_id, {z9} AS cell_id_z9, {z6} AS cell_id_z6,
+           {z9} - {lsb9} + 1 AS z9_range_min,
+           {z9} + {lsb9} - 1 AS z9_range_max
+    FROM ({sqlgen.nodes_select()})
+    """
+
+
 # ---------------------------------------------------------------------------
 # engine queries (one per operator)
 # ---------------------------------------------------------------------------
@@ -75,6 +91,22 @@ def _q_s2_span_sequence(spark, sf):
 def _q_f1_projection(spark, sf):
     c = ctx(spark, sf)
     return c["proj"].select("id", "x", "y", "cell_col", "cell_row")
+
+
+def _q_f2_cell_ids(spark, sf):
+    """S2-style hierarchical cell ids (north rule "H3/S2 index cells"):
+    leaf id + zoom-9/6 ancestors + the leaf range the z9 cell covers."""
+    from geodesk_gol_spark.functions.cells import (
+        range_max_col, range_min_col, with_cell_ids,
+    )
+
+    c = ctx(spark, sf)
+    out = with_cell_ids(c["proj"], zooms=(12, 9, 6))
+    return out.select(
+        "id", "cell_id", "cell_id_z9", "cell_id_z6",
+        range_min_col("cell_id_z9").alias("z9_range_min"),
+        range_max_col("cell_id_z9").alias("z9_range_max"),
+    )
 
 
 def _q_a1_cell_counts(spark, sf):
@@ -510,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_parse_nodes": _q_s1_parse_nodes,
         "s2_span_sequence": _q_s2_span_sequence,
         "f1_projection": _q_f1_projection,
+        "f2_cell_ids": _q_f2_cell_ids,
         "a1_cell_counts": _q_a1_cell_counts,
         "a3_osm_stats": _q_a3_osm_stats,
         "a4_tile_pyramid": _q_a4_tile_pyramid,
@@ -558,6 +591,7 @@ def oracle_sql() -> dict[str, str]:
         "f1_projection": (
             f"SELECT id, x, y, cell_col, cell_row FROM ({sqlgen.nodes_select()})"
         ),
+        "f2_cell_ids": _oracle_cell_ids(),
         "a1_cell_counts": (
             f"SELECT cell_col, cell_row, count(*) AS n "
             f"FROM ({sqlgen.nodes_select()}) GROUP BY cell_col, cell_row"

@@ -55,12 +55,30 @@ def save_tiles(
         sel = store.filter(F.col("tile_id").isin(hit))
     else:
         sel = store
-    sel.write.mode("overwrite").partitionBy("tile_id").parquet(
-        os.path.join(path, "tiles")
+    # same layout as the store (compile_tiles.write_store): contiguous
+    # tile_id ranges per file + row-group stats pruning — NOT
+    # partitionBy("tile_id"), which at the reference's 65 535 tiles
+    # explodes into 65k directories of tiny files on object storage.
+    # Schema (column order/types) survives the round-trip unchanged.
+    n = max(1, sel.sparkSession.sparkContext.defaultParallelism)
+    (
+        sel.repartitionByRange(n, "tile_id")
+        .sortWithinPartitions("tile_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "tiles"))
+    )
+    files = sorted(
+        f for f in os.listdir(os.path.join(path, "tiles"))
+        if f.endswith(".parquet")
     )
     manifest = {
         "tiles": _tile_checksums(sel),
         "bbox": list(bbox) if bbox else None,
+        # file listing makes the archive fetchable over dumb HTTP (no
+        # directory listing needed — the reference's TileDownloadClient
+        # likewise drives downloads off the .gol tile index, not the
+        # server; src/gol/load/TileDownloadClient.h)
+        "files": files,
     }
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(manifest, f)
@@ -71,8 +89,50 @@ class ArchiveChecksumError(RuntimeError):
     pass
 
 
-def load_tiles(spark: SparkSession, path: str, verify: bool = True) -> DataFrame:
-    """S6: read an archive back, verifying per-tile checksums."""
+def _fetch_archive(url: str, cache_dir: str) -> str:
+    """Download an archive (manifest + listed parquet files) over HTTP(S)
+    into ``cache_dir`` and return the local path.
+
+    The reference streams tiles from a repository URL with ranged HTTP
+    (src/gol/load/TileDownloadClient.h, doc/releases/v2.1.0.md); here a
+    whole-file fetch per parquet part is the right granularity — each
+    part is already a contiguous tile_id range (see save_tiles), so a
+    bbox-subset consumer fetches only the parts whose ranges intersect.
+    Driver-side and sequential by design: archive fetch is control-plane
+    I/O (the data plane is the Spark parquet scan afterwards).
+    """
+    from urllib.request import urlopen  # stdlib; no extra deps
+
+    os.makedirs(os.path.join(cache_dir, "tiles"), exist_ok=True)
+    base = url.rstrip("/")
+    with urlopen(f"{base}/{MANIFEST}") as r:
+        manifest = json.load(r)
+    with open(os.path.join(cache_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    for name in manifest.get("files", []):
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"unsafe file name in manifest: {name!r}")
+        dst = os.path.join(cache_dir, "tiles", name)
+        if os.path.exists(dst):
+            continue  # resumable: already-fetched parts are kept
+        with urlopen(f"{base}/tiles/{name}") as r, open(dst, "wb") as f:
+            while chunk := r.read(1 << 20):
+                f.write(chunk)
+    return cache_dir
+
+
+def load_tiles(spark: SparkSession, path: str, verify: bool = True,
+               cache_dir: str | None = None) -> DataFrame:
+    """S6: read an archive back (local path or http(s):// URL), verifying
+    per-tile checksums."""
+    if path.startswith(("http://", "https://")):
+        if cache_dir is None:
+            import hashlib
+            import tempfile
+
+            tag = hashlib.sha256(path.encode()).hexdigest()[:12]
+            cache_dir = os.path.join(tempfile.gettempdir(), f"gol_archive_{tag}")
+        path = _fetch_archive(path, cache_dir)
     rows = spark.read.parquet(os.path.join(path, "tiles"))
     if verify:
         with open(os.path.join(path, MANIFEST)) as f:

@@ -113,6 +113,32 @@ def tile_id_expr(zoom: str | int, col: str, row: str) -> str:
     return f"(({zoom}) * 16777216 + ({row}) * 4096 + ({col}))"
 
 
+def cell_id_expr(col: str, row: str, zoom: int = LEAF_ZOOM) -> str:
+    """S2-style hierarchical 64-bit cell id (pure-arithmetic, cross-engine).
+
+    Layout (S2CellId semantics on the square world grid — the reference's
+    quadtree stands in for S2's cube faces): the Morton/Z-order interleave
+    of (col, row) at ``zoom`` occupies the high bits, followed by a single
+    sentinel 1-bit, then zeros.  Exactly like S2, the sentinel's position
+    encodes the level, a parent id is the child with the low bits cleared
+    + sentinel moved up, and [id - lsb, id + lsb] is the leaf range a
+    containment scan can prune on.  Morton (not Hilbert) keeps the id a
+    24-term integer expression both Spark and DuckDB fold; Hilbert
+    ordering is still used *within* tiles (functions/hilbert.py).
+    """
+    terms = []
+    for b in range(zoom):
+        terms.append(
+            f"(CAST(floor(({col}) / {1 << b}.0) AS BIGINT) % 2) * {1 << (2 * b + 1)}"
+        )
+        terms.append(
+            f"(CAST(floor(({row}) / {1 << b}.0) AS BIGINT) % 2) * {1 << (2 * b)}"
+        )
+    morton = "(" + " + ".join(terms) + ")" if terms else "0"
+    shift = 2 * (LEAF_ZOOM - zoom)  # leaf-align, sentinel marks the level
+    return f"({morton} * {1 << (shift + 1)} + {1 << shift})"
+
+
 # ---------------------------------------------------------------------------
 # node derivation (lineitem -> nodes)
 # ---------------------------------------------------------------------------

@@ -116,3 +116,32 @@ def test_global_string_table(spark, built):
     assert sorted(t.code) == list(range(len(t)))
     noncore = t[~t.s.isin(["", "no", "yes", "outer", "inner"])].sort_values("code")
     assert list(noncore.n) == sorted(noncore.n, reverse=True) or len(noncore) <= 1
+
+
+def test_load_tiles_from_http_url(spark, built, tmp_path):
+    """S6 URL load: serve the archive over local HTTP, fetch + verify."""
+    import http.server
+    import socketserver
+    import threading
+
+    res, store = built
+    path = str(tmp_path / "arch_http")
+    save_tiles(store, res.catalog, path)
+
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+        *a, directory=path, **kw
+    )
+    with socketserver.TCPServer(("127.0.0.1", 0), handler) as httpd:
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            back = load_tiles(
+                spark,
+                f"http://127.0.0.1:{port}",
+                cache_dir=str(tmp_path / "dl_cache"),
+            )
+            assert back.count() == store.count()
+            assert back.drop("tags").exceptAll(store.drop("tags")).count() == 0
+        finally:
+            httpd.shutdown()

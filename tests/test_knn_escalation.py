@@ -1,0 +1,46 @@
+"""kNN cell-ring escalation: exactness vs brute force on adversarial
+layouts (sparse far points force ring doubling and the final fallback)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geodesk_gol_spark.query.spatial import knn_bruteforce, knn_cell_rings
+
+
+@pytest.fixture(scope="module")
+def sparse(spark):
+    # a dense clump near the origin + far-flung singletons: queries at the
+    # clump resolve in ring 1; queries in the void need escalation/fallback
+    cell = 1 << 15
+    pts = [(i, 1000 + i * 37, 2000 + i * 53) for i in range(40)]
+    pts += [(100 + j, 40 * cell + j * 11 * cell, 50 * cell + j * 13 * cell)
+            for j in range(6)]
+    points = spark.createDataFrame(pts, "id long, x long, y long")
+    qs = spark.createDataFrame(
+        [(0, 1500, 2500), (1, 45 * cell, 55 * cell)],
+        "q_id long, qx long, qy long",
+    )
+    return points, qs
+
+
+def test_rings_equals_brute(sparse):
+    points, qs = sparse
+    want = {(r["q_id"], r["rank"]): r["neighbor_id"]
+            for r in knn_bruteforce(points, qs, k=5).collect()}
+    got = {(r["q_id"], r["rank"]): r["neighbor_id"]
+           for r in knn_cell_rings(points, qs, k=5, ring=2).collect()}
+    assert got == want
+
+
+def test_rings_no_duplicate_results(sparse):
+    points, qs = sparse
+    rows = knn_cell_rings(points, qs, k=5, ring=2).collect()
+    keys = [(r["q_id"], r["rank"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
