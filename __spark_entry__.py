@@ -109,6 +109,49 @@ def _q_f2_cell_ids(spark, sf):
     )
 
 
+def _q_raster_zonal_stats(spark, sf):
+    """Raster↔vector zonal statistics: way-bbox zones rasterized onto the
+    zoom-6 grid, integer count/sum/max of the (synthetic) pixel values."""
+    from geodesk_gol_spark.query.raster import zonal_stats
+
+    c = ctx(spark, sf)
+    return zonal_stats(c["assignment"]["extents"])
+
+
+def _oracle_raster_zonal() -> str:
+    v = "(c * 31 + r * 17) % 256"
+    return _prefix(wext=True) + f""",
+    z AS (
+      SELECT id AS zone_id,
+             CAST(floor(minc / 64.0) AS BIGINT) AS zminc,
+             CAST(floor(minr / 64.0) AS BIGINT) AS zminr,
+             CAST(floor(maxc / 64.0) AS BIGINT) AS zmaxc,
+             CAST(floor(maxr / 64.0) AS BIGINT) AS zmaxr
+      FROM wext
+    ),
+    zb AS (
+      SELECT * FROM z
+      WHERE (zmaxc - zminc + 1) * (zmaxr - zminr + 1) <= 4096
+    ),
+    cc AS (
+      SELECT zone_id, zminr, zmaxr,
+             unnest(list_transform(range(0, zmaxc - zminc + 1),
+                                   i -> zminc + i)) AS c
+      FROM zb
+    ),
+    zcells AS (
+      SELECT zone_id, c,
+             unnest(list_transform(range(0, zmaxr - zminr + 1),
+                                   i -> zminr + i)) AS r
+      FROM cc
+    )
+    SELECT zone_id, count(*) AS n_cells,
+           CAST(sum({v}) AS BIGINT) AS sum_val,
+           CAST(max({v}) AS INT) AS max_val
+    FROM zcells GROUP BY zone_id
+    """
+
+
 def _q_a1_cell_counts(spark, sf):
     c = ctx(spark, sf)
     return c["proj"].groupBy("cell_col", "cell_row").agg(
@@ -572,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute": _q_knn_brute,
         "knn_rings": _q_knn_rings,
         "raster_vector_join": _q_raster_vector_join,
+        "raster_zonal_stats": _q_raster_zonal_stats,
         "a2_string_freq": _q_a2_string_freq,
         "f11_template": _q_f11_template,
     }
@@ -742,6 +786,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute": _ORACLE_KNN,
         "knn_rings": _ORACLE_KNN,
         "raster_vector_join": _ORACLE_RASTER,
+        "raster_zonal_stats": _oracle_raster_zonal(),
         "a2_string_freq": _ORACLE_STRING_FREQ,
         "f11_template": f"""
             SELECT id, concat(name, ' (', CAST(id AS STRING), ')') AS line

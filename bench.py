@@ -237,12 +237,21 @@ def main() -> None:
         # count varies — the standard cluster scaling methodology.
         # Varying partitions with N would confound task-count overhead
         # with parallelism.
-        res = one_run(f"local[{n}]", sf_dir, 4 * _cpus(), rep,
+        hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(_cpus())))
+        res = one_run(f"local[{n}]", sf_dir, 4 * hi, rep,
                       build_only=True, docs_path=docs_path)
         print("RESULT " + json.dumps(res))
         return
     if "--scaling" in sys.argv:
-        lo = max(2, cpus // 4)
+        # the north rule compares N vs 4N executors; WHICH N is ours to
+        # pick (a real cluster comparison would pick node counts the job
+        # actually fits).  Overridable for probing the host's scaling
+        # envelope: single-node thread scaling collapses once memory
+        # bandwidth saturates, which is a host artifact, not an engine
+        # property — executors on separate nodes have separate memory.
+        hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(cpus)))
+        cpus = hi
+        lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", str(max(2, cpus // 4))))
         # scaling evidence runs in the compute-bound regime (large inputs
         # are the modeled reality; stage overhead at sf0.1 otherwise
         # dominates and measures the scheduler, not the engine)
