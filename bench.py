@@ -59,7 +59,10 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicate: int = 1,
     from geodesk_gol_spark.plans.pyramid import build_tile_catalog
     from geodesk_gol_spark.query.goql import goql_to_column
     from geodesk_gol_spark.query.spatial import bbox_filter, knn_cell_rings
-    from geodesk_gol_spark.sources.parser import parse_features
+    from geodesk_gol_spark.sources.parser import (
+        parse_features_unified,
+        split_features,
+    )
     from geodesk_gol_spark.sources.synth import synth_docs
 
     t: dict[str, float] = {}
@@ -82,15 +85,31 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicate: int = 1,
     log(f"synth {t['q_synth_docs']:.1f}s")
 
     t0 = time.time()
-    feats = {k: ckpt(k, v) for k, v in parse_features(docs).items()}
-    counts["nodes"] = feats["nodes"].count()
-    counts["ways"] = feats["ways"].count()
-    counts["relations"] = feats["relations"].count()
+    # ONE scan+explode+parse of the docs table, checkpointed once;
+    # per-kind frames are filtered column-pruned reads of the checkpoint
+    # (was: 4 independent scans of the full corpus, one per kind)
+    feats = split_features(ckpt("features", parse_features_unified(docs)))
+    kc = {
+        r["kind"]: r["n"]
+        for r in feats["nodes"].sparkSession.read.parquet(
+            os.path.join(out_dir, "features")
+        ).groupBy("kind").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    counts["nodes"] = kc.get("node", 0)
+    counts["ways"] = kc.get("way", 0)
+    counts["relations"] = kc.get("relation", 0)
     t["q_parse"] = time.time() - t0
     log(f"parse {t['q_parse']:.1f}s")
 
     t0 = time.time()
-    proj = ckpt("proj", with_projection(feats["nodes"]))
+    # the pyramid consumes only the cell grid — checkpoint just those
+    # columns (tags/members stay in the features checkpoint)
+    proj = ckpt(
+        "proj",
+        with_projection(feats["nodes"]).select(
+            "id", "x", "y", "cell_col", "cell_row"
+        ),
+    )
     catalog = build_tile_catalog(proj, BuildSettings.for_fixture(500))
     t["q_pyramid"] = time.time() - t0
     counts["tiles"] = len(catalog.tiles)
@@ -278,12 +297,25 @@ def main() -> None:
         # transient multi-minute stalls, and interleaving spreads them
         # evenly across levels instead of biasing one
         attempts = [n for _ in range(tries) for n in (lo, cpus)]
+        # Model "N vs 4N executors" faithfully on one host:
+        #  - CPU-pin each level to exactly n cores (taskset): without it
+        #    the small level's JVM still uses all host cores for GC,
+        #    snappy decompression and shuffle IO threads — free CPU that
+        #    inflates small-level throughput and deflates efficiency.
+        #  - Scale the heap with n (per-core heap constant): a cluster's
+        #    4N executors have 4× the total memory; a shared fixed heap
+        #    hands the small level 4× memory per task instead.
+        per_core_mem = int(os.environ.get("SPARK_GRAFT_MEM_PER_CORE_GB", "3"))
+        taskset = shutil.which("taskset")
         for n in attempts:
             time.sleep(cooldown)
+            env = os.environ.copy()
+            env["SPARK_GRAFT_DRIVER_MEM"] = f"{per_core_mem * n}g"
+            pin = [taskset, "-c", f"0-{n - 1}"] if taskset else []
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one", str(n),
-                 str(rep), docs_path],
-                capture_output=True, text=True, env=os.environ.copy(),
+                pin + [sys.executable, os.path.abspath(__file__), "--one",
+                       str(n), str(rep), docs_path],
+                capture_output=True, text=True, env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             line = [l for l in out.stdout.splitlines()
@@ -313,8 +345,10 @@ def main() -> None:
             f.write(
                 f"\n## scaling run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
                 f"- input: `{sf_dir}` ×{rep} replication, pre-materialized "
-                f"ONCE and read by both levels (identical input + plan; "
-                f"only thread count varies); min of {tries} interleaved "
+                f"ONCE and read by both levels (identical input + plan); "
+                f"each level CPU-pinned to exactly its n cores (taskset) "
+                f"with heap ∝ n ({per_core_mem} GiB/core) — faithful "
+                f"N-vs-4N-executor model; min of {tries} interleaved "
                 f"tries/level\n"
                 f"- local[{lo}]: {thr_lo} features-tiled+joined/sec "
                 f"(engine {runs[lo]['engine_sec']}s)\n"
@@ -322,6 +356,12 @@ def main() -> None:
                 f"(engine {runs[cpus]['engine_sec']}s)\n"
                 f"- **scaling efficiency ({lo}→{cpus} threads): "
                 f"{report['scaling_efficiency']}**\n"
+                f"- per-stage sec (local[{lo}] → local[{cpus}]): "
+                + ", ".join(
+                    f"{k.removeprefix('q_')} {runs[lo]['queries'][k]}→"
+                    f"{runs[cpus]['queries'][k]}"
+                    for k in runs[lo]["queries"]
+                ) + "\n"
             )
         print(json.dumps(report))
         return

@@ -185,6 +185,81 @@ def sql_dedup_simhash(t: str, d: str, bits: int = 32) -> str:
     """
 
 
+def sql_dedup_simhash_pairs(t: str, d: str, bits: int = 48,
+                            bands: int = 6, max_ham: int = 2) -> str:
+    """SimHash near-dup PAIR generation: band the ``bits``-bit simhash
+    into ``bands`` equal slices, candidate pairs = equality join on any
+    (band index, band value), verified pairs = hamming distance ≤
+    ``max_ham`` via xor + popcount.  At scale the band join is a hash
+    join keyed by an 8-bit slice — no all-pairs comparison anywhere
+    (same LSH-banding shape the reference-free MinHash path uses)."""
+    band_bits = bits // bands
+    xor = "(a.simhash ^ b.simhash)" if d == "spark" else \
+        "xor(a.simhash, b.simhash)"
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"CAST(floor(simhash / {1 << (b * band_bits)}.0) AS BIGINT) "
+        f"% {1 << band_bits} AS bval FROM sh"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS ({sql_dedup_simhash(t, d, bits)}),
+    bnd AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+      FROM bnd x JOIN bnd y
+        ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+    )
+    SELECT c.da AS doc_a, c.db AS doc_b,
+           CAST(bit_count({xor}) AS INT) AS hamming
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.da
+    JOIN sh b ON b.doc_id = c.db
+    WHERE bit_count({xor}) <= {max_ham}
+    """
+
+
+def sql_dedup_embed_cosine(t: str, d: str, n_planes: int = 8,
+                           base: int = 100, tau_milli: int = 280) -> str:
+    """Embedding-cosine near-dup: candidate pairs from random-hyperplane
+    LSH bucket equality (own bucket + hamming-1 multi-probe, as the ANN
+    path), exact cosine re-check ≥ tau inside the candidate set.  Both
+    dialects fold the dot product left-to-right over the same expression
+    tree, so the doubles — and the threshold comparison — are bit-equal
+    (see memory: spark-duckdb-parity-rules)."""
+    xor = (lambda a, b: f"({a} ^ {b})") if d == "spark" else (
+        lambda a, b: f"xor({a}, {b})")
+    bits = " UNION ALL ".join(
+        f"SELECT CAST({1 << j} AS BIGINT) AS bit" for j in range(n_planes)
+    )
+    dot = _dot("ea.embedding", "eb.embedding", d)
+    na = _dot("ea.embedding", "ea.embedding", d)
+    nb = _dot("eb.embedding", "eb.embedding", d)
+    return f"""
+    WITH eb0 AS ({sql_ann_lsh_buckets(t, d, n_planes, base)}),
+    probes AS (
+      SELECT vec_id, bucket AS probe FROM eb0
+      UNION ALL
+      SELECT vec_id, {xor('bucket', 'b.bit')} AS probe FROM eb0, ({bits}) b
+    ),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS va, e2.vec_id AS vb
+      FROM probes p JOIN eb0 e2
+        ON e2.bucket = p.probe AND p.vec_id < e2.vec_id
+    ),
+    scored AS (
+      SELECT c.va AS vec_a, c.vb AS vec_b,
+             {dot} / (sqrt({na}) * sqrt({nb})) AS score
+      FROM cand c
+      JOIN {t} ea ON ea.vec_id = c.va
+      JOIN {t} eb ON eb.vec_id = c.vb
+    )
+    SELECT vec_a, vec_b,
+           CAST(floor(score * 1000) AS BIGINT) AS cos_milli
+    FROM scored WHERE score * 1000 >= {tau_milli}
+    """
+
+
 def sql_text_langid(t: str, d: str) -> str:
     return f"""
     SELECT doc_id, lang,
@@ -455,6 +530,8 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _sql_query(sql_dedup_ngram_jaccard, "documents"),
         "dedup_minhash_lsh": _sql_query(sql_dedup_minhash, "documents"),
         "dedup_simhash": _sql_query(sql_dedup_simhash, "documents"),
+        "dedup_simhash_pairs": _sql_query(sql_dedup_simhash_pairs, "documents"),
+        "dedup_embed_cosine": _sql_query(sql_dedup_embed_cosine, "embeddings"),
         "text_langid": _sql_query(sql_text_langid, "documents"),
         "text_quality": _sql_query(sql_text_quality, "documents"),
         "text_tokens_by_lang": _sql_query(sql_text_tokens_by_lang, "documents"),
@@ -486,6 +563,8 @@ def ml_oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard("documents", "duck"),
         "dedup_minhash_lsh": sql_dedup_minhash("documents", "duck"),
         "dedup_simhash": sql_dedup_simhash("documents", "duck"),
+        "dedup_simhash_pairs": sql_dedup_simhash_pairs("documents", "duck"),
+        "dedup_embed_cosine": sql_dedup_embed_cosine("embeddings", "duck"),
         "text_langid": sql_text_langid("documents", "duck"),
         "text_quality": sql_text_quality("documents", "duck"),
         "text_tokens_by_lang": sql_text_tokens_by_lang("documents", "duck"),

@@ -22,6 +22,9 @@ SAMPLE = [
     "p1_goql_highway_names",
     "knn_rings",
     "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_embed_cosine",
+    "raster_zonal_stats",
     "text_fingerprint",
     "ann_cosine_topk",
     "s8_change_merge",
