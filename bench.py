@@ -307,8 +307,22 @@ def main() -> None:
         #    hands the small level 4× memory per task instead.
         per_core_mem = int(os.environ.get("SPARK_GRAFT_MEM_PER_CORE_GB", "3"))
         taskset = shutil.which("taskset")
+        # this multi-tenant host shows 2-8× transient slowdowns from
+        # neighbor load; a try launched into a noisy window measures the
+        # neighbor, not the engine.  Gate each try on 1-min loadavg and
+        # keep the per-try min — the quiet-window samples are the ones
+        # that reflect cluster behavior (a real cluster's executors are
+        # not time-shared with strangers).
+        max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "1.5"))
+        load_wait = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "900"))
+        try_log: list[dict] = []
         for n in attempts:
             time.sleep(cooldown)
+            waited = 0
+            while os.getloadavg()[0] > max_load and waited < load_wait:
+                time.sleep(30)
+                waited += 30
+            load0 = round(os.getloadavg()[0], 2)
             env = os.environ.copy()
             env["SPARK_GRAFT_DRIVER_MEM"] = f"{per_core_mem * n}g"
             pin = [taskset, "-c", f"0-{n - 1}"] if taskset else []
@@ -325,6 +339,11 @@ def main() -> None:
                     f"subprocess local[{n}] failed: {out.stderr[-2000:]}"
                 )
             r = json.loads(line[-1][len("RESULT "):])
+            try_log.append(
+                {"n": n, "engine_sec": r["engine_sec"],
+                 "load_at_start": load0, "load_waited_s": waited}
+            )
+            print(f"TRY {json.dumps(try_log[-1])}", flush=True)
             if n not in runs or r["engine_sec"] < runs[n]["engine_sec"]:
                 runs[n] = r
         shutil.rmtree(docs_path, ignore_errors=True)
@@ -340,6 +359,7 @@ def main() -> None:
             "throughput_large_fps": thr_hi,
             "scaling_efficiency": round(eff, 3),
             "runs": runs,
+            "tries": try_log,
         }
         with open("BENCH_SCALING.md", "a") as f:
             f.write(
@@ -361,6 +381,11 @@ def main() -> None:
                     f"{k.removeprefix('q_')} {runs[lo]['queries'][k]}→"
                     f"{runs[cpus]['queries'][k]}"
                     for k in runs[lo]["queries"]
+                ) + "\n"
+                f"- tries (engine_sec @ 1-min load): "
+                + ", ".join(
+                    f"n={t['n']} {t['engine_sec']}s@{t['load_at_start']}"
+                    for t in try_log
                 ) + "\n"
             )
         print(json.dumps(report))

@@ -33,7 +33,6 @@ from .operators import validate as V
 from .operators.assign import assign_features, node_points
 from .operators.compile_tiles import compile_feature_rows
 from .plans.pyramid import TileCatalog, build_tile_catalog
-from .sources.parser import parse_features
 from .sources.synth import synth_docs
 
 DENSITY = 500  # fixture-scale min_tile_density (reference default 75 000
@@ -84,7 +83,12 @@ def _materialize(spark: SparkSession, sf_dir: str) -> Path:
 
     settings = BuildSettings.for_fixture(DENSITY)
     docs = w("docs", synth_docs(spark, sf_dir))
-    feats = {k: w(k, v) for k, v in parse_features(docs).items()}
+    # one scan+parse of docs, then 4 cheap per-kind writes off the
+    # unified checkpoint (was: 4 independent scans of docs)
+    from .sources.parser import parse_features_unified, split_features
+
+    unified = w("features_unified", parse_features_unified(docs))
+    feats = {k: w(k, v) for k, v in split_features(unified).items()}
     proj = w("proj", with_projection(feats["nodes"]))
     catalog = build_tile_catalog(proj, settings)
     asn = assign_features(feats, catalog)

@@ -35,7 +35,7 @@ from ..operators import validate as V
 from ..operators.assign import assign_features
 from ..operators.compile_tiles import compile_feature_rows, write_store
 from ..plans.pyramid import TileCatalog, build_tile_catalog
-from ..sources.parser import parse_features
+from ..sources.parser import parse_features_unified, split_features
 from ..sources.synth import synth_docs
 
 
@@ -81,9 +81,13 @@ def build_gol(
     # -- stage 2: features --------------------------------------------------
     feat_paths = {k: os.path.join(out_dir, f"features_{k}") for k in
                   ("nodes", "ways", "relations", "media")}
+    uni_path = os.path.join(out_dir, "features_unified")
     if not (resume and all(_done(p) for p in feat_paths.values())):
         t0 = time.time()
-        feats = parse_features(docs)
+        # one scan+parse of docs checkpointed once, then per-kind writes
+        # off the (much smaller) unified table
+        parse_features_unified(docs).write.mode("overwrite").parquet(uni_path)
+        feats = split_features(spark.read.parquet(uni_path))
         for k, p in feat_paths.items():
             feats[k].write.mode("overwrite").parquet(p)
         record("features", t0)
