@@ -117,10 +117,20 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicate: int = 1,
 
     t0 = time.time()
     asn = assign_features(feats, catalog)
-    ft = ckpt("feature_tiles", asn["feature_tiles"])
+    # the three outputs are independent once the (persisted) assignment
+    # frames exist — write them as concurrent Spark jobs (latency = max,
+    # not sum; same total work)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(3) as pool:
+        futs = {
+            name: pool.submit(ckpt, name, asn[name])
+            for name in ("feature_tiles", "points", "extents")
+        }
+        ft = futs["feature_tiles"].result()
+        points = futs["points"].result()
+        extents = futs["extents"].result()
     counts["feature_tiles"] = ft.count()
-    points = ckpt("points", asn["points"])
-    extents = ckpt("extents", asn["extents"])
     t["q_assign"] = time.time() - t0
     log(f"assign {t['q_assign']:.1f}s rows={counts['feature_tiles']}")
 

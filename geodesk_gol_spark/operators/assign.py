@@ -198,38 +198,52 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
             F.col("n_resolved").alias("o_res"),
             *[F.col(c).alias(f"o_{c}") for c in _EXT_COLS],
         )
+        # rel-members that point at relations with no member rows at all
+        # (missing or empty targets) count as settled from the start —
+        # the reference resolves with whatever exists.  n_live is the
+        # per-super count of members that WILL eventually settle.
+        real_rels = rm.select("rel_id").distinct()
+        n_live = (
+            edges.join(
+                real_rels.withColumnRenamed("rel_id", "member_rel"),
+                "member_rel",
+            )
+            .groupBy("rel_id")
+            .agg(F.count(F.lit(1)).alias("n_live_m"))
+            .coalesce(8)
+            .persist()
+        )
+        ext_types = {f.name: f.dataType for f in resolved_all.schema.fields}
+        # settled = resolved-with-extents ∪ resolved-to-nothing; ONE
+        # left join of a pending super's edges against it both answers
+        # "are all my rel-members settled?" (n_done vs n_live) and
+        # gathers member extents — one real job per level (the previous
+        # blocked/ready anti-join chain cost ~3 jobs/level of fixed
+        # driver latency, the dominant serial term in the 4N profile)
+        empties = unresolved  # rel_ids that resolved to nothing so far
         for _ in range(MAX_RELATION_LEVELS):
             if n_pending == 0:
                 break
-            # ready = pending supers none of whose rel-members is pending
-            blocked = (
-                edges.join(pending, "rel_id")
-                .join(pending.withColumnRenamed("rel_id", "member_rel"),
-                      "member_rel")
-                .select("rel_id")
-                .distinct()
-            )
-            # localCheckpoint truncates lineage: without it the
-            # pending/ready plan nests 3x per level (exponential logical
-            # plans -> analyzer OOM); data stays on executors.
-            ready = pending.join(blocked, "rel_id", "left_anti")\
-                .coalesce(8).localCheckpoint()
-            n_ready = ready.count()
-            if n_ready == 0:
-                break  # cycle residue — handled below
-            new = (
-                edges.join(ready, "rel_id")
-                .join(
-                    resolved_all.select(
-                        F.col("rel_id").alias("member_rel"),
-                        F.col("level").alias("m_level"),
-                        *m_ext_sel,
-                    ),
-                    "member_rel",
-                    "left",
+            done = resolved_all.select(
+                F.col("rel_id").alias("member_rel"),
+                F.lit(1).alias("m_done"),
+                F.col("level").alias("m_level"),
+                *m_ext_sel,
+            ).unionByName(
+                empties.select(
+                    F.col("rel_id").alias("member_rel"),
+                    F.lit(1).alias("m_done"),
+                    F.lit(None).cast(ext_types["level"]).alias("m_level"),
+                    *[F.lit(None).cast(ext_types[c]).alias(f"m_{c}")
+                      for c in _EXT_COLS],
                 )
+            )
+            new = (
+                edges.join(pending, "rel_id")
+                .join(done, "member_rel", "left")
                 .groupBy("rel_id", "n_members")
                 .agg(
+                    F.count("m_done").alias("n_done"),
                     F.count("m_minc").alias("m_res"),
                     F.max(
                         F.when(F.col("m_minc").isNotNull(), F.col("m_level"))
@@ -242,6 +256,10 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
                     F.min("m_miny").alias("mm_miny"),
                     F.max("m_maxx").alias("mm_maxx"),
                     F.max("m_maxy").alias("mm_maxy"),
+                )
+                .join(n_live, "rel_id", "left")
+                .filter(
+                    F.col("n_done") >= F.coalesce(F.col("n_live_m"), F.lit(0))
                 )
                 .join(own, "rel_id", "left")
                 .select(
@@ -260,18 +278,23 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
                     (F.coalesce("m_lv", F.lit(0)) + 1).alias("level"),
                     F.lit(False).alias("refcycle"),
                 )
-                .localCheckpoint()
+                .localCheckpoint()  # truncates lineage; data stays on executors
             )
+            n_new = new.count()  # metadata-cheap: new is checkpointed
+            if n_new == 0:
+                break  # cycle residue — handled below
             resolved_all = resolved_all.unionByName(
                 new.filter(F.col("minc").isNotNull()).select(*out_cols)
             ).persist()
             # supers whose transitive member set resolved to nothing
-            unresolved = unresolved.unionByName(
-                new.filter(F.col("minc").isNull()).select("rel_id")
-            )
-            pending = pending.join(ready, "rel_id", "left_anti")\
-                .coalesce(8).localCheckpoint()
-            n_pending -= n_ready
+            new_empty = new.filter(F.col("minc").isNull()).select("rel_id")
+            unresolved = unresolved.unionByName(new_empty)
+            empties = empties.unionByName(new_empty)
+            # tiny control frame over checkpointed parents: depth stays 1
+            pending = pending.join(
+                new.select("rel_id"), "rel_id", "left_anti"
+            ).coalesce(8)
+            n_pending -= n_new
 
         if n_pending:
             # cycle break: residue only — collect, resolve in ascending-id

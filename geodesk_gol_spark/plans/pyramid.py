@@ -93,28 +93,58 @@ def build_tile_catalog(nodes: DataFrame, settings: BuildSettings) -> TileCatalog
     Distributed aggregation; only bounded survivor candidates hit the
     driver.  Deterministic for a given input (pure integer arithmetic).
     """
-    cells = (
-        nodes.groupBy(
-            F.col("cell_col").alias("c"), F.col("cell_row").alias("r")
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
-    )
+    # ONE distributed job: z12 survivor candidates (bounded by
+    # total_nodes/density, then capped at max_tiles) + the FULL
+    # aggregated z9/z6/z3 grids (grid-bounded: ≤512² + 64² + 8² rows).
+    # The survivor/residual ladder — which level each count dissolves
+    # into — is pure arithmetic on those bounded frames, done driver-side
+    # in dicts.  (Was: 4 sequential filter→toPandas jobs + a shrink
+    # chain; ~8 driver round-trips of fixed latency per build.)
     d = settings.min_tile_density
-    frames: list[pd.DataFrame] = []
-    cur = cells
+    cells12 = nodes.groupBy(
+        F.col("cell_col").alias("c"), F.col("cell_row").alias("r")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    lvl = cells12.filter(F.col("cnt") >= d).select(
+        F.lit(12).alias("zoom"), "c", "r", "cnt"
+    )
+    cur = cells12
+    for zoom in _LADDER[1:]:
+        cur = _shrink(cur)  # TOTAL counts (all descendants) at this zoom
+        lvl = lvl.unionByName(
+            cur.select(F.lit(zoom).alias("zoom"), "c", "r", "cnt")
+        )
+    pdf = lvl.toPandas()
+
+    frames = []
+    surv12 = pdf[pdf.zoom == 12].copy()
+    frames.append(surv12[["c", "r", "cnt"]].assign(zoom=12))
+    # per-level: residual(cell) = total(cell) − Σ counts already claimed
+    # by surviving descendants; claimed rolls up level by level.
+    claimed: dict[tuple[int, int], int] = {}  # at the PREVIOUS level's grid
+    for c, r, cnt in zip(surv12.c, surv12.r, surv12.cnt):
+        claimed[(int(c) // 8, int(r) // 8)] = (
+            claimed.get((int(c) // 8, int(r) // 8), 0) + int(cnt)
+        )
     root_count = 0
-    for zoom in _LADDER:
-        surv = cur.filter(F.col("cnt") >= d).toPandas()
-        surv["zoom"] = zoom
-        frames.append(surv)
-        resid = cur.filter(F.col("cnt") < d)
-        if zoom == _LADDER[-1]:
-            row = resid.agg(F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0][0]
-            root_count = int(row)
-        else:
-            cur = _shrink(resid).persist()
-    cells.unpersist()
+    for i, zoom in enumerate(_LADDER[1:], start=1):
+        level = pdf[pdf.zoom == zoom]
+        surv_rows = []
+        nxt: dict[tuple[int, int], int] = {}
+        for c, r, cnt in zip(level.c, level.r, level.cnt):
+            c, r = int(c), int(r)
+            resid = int(cnt) - claimed.get((c, r), 0)
+            key_up = (c // 8, r // 8)
+            if resid >= d:
+                surv_rows.append((c, r, resid))
+                nxt[key_up] = nxt.get(key_up, 0) + int(cnt)
+            else:
+                nxt[key_up] = nxt.get(key_up, 0) + claimed.get((c, r), 0)
+                if zoom == _LADDER[-1]:
+                    root_count += resid
+        frames.append(
+            pd.DataFrame(surv_rows, columns=["c", "r", "cnt"]).assign(zoom=zoom)
+        )
+        claimed = nxt
 
     cand = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
     if len(cand) == 0:

@@ -1,0 +1,47 @@
+"""Pre-warm the gate disk cache (.gatecache) for the driver's CORRECTNESS
+sweep.
+
+The driver calls each ``queries()`` entry independently; the first call at
+a scale factor triggers the full staged build (gate._materialize).  Warming
+the cache ahead of time makes every driver call a fast parquet load —
+protection against per-query driver timeouts.
+
+Run after the LAST code change of a round (the cache key fingerprints the
+package source, so any later edit invalidates it):
+
+    python tools/warm_gate_cache.py            # sf0.001 + sf0.01
+    python tools/warm_gate_cache.py /root/testdata/sf0.1
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from geodesk_gol_spark import gate  # noqa: E402
+from geodesk_gol_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sfs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    # prune stale fingerprints first (old code states, dead weight)
+    root = gate._PKG.parent / ".gatecache"
+    live = {gate._cache_dir(sf).name for sf in sfs} | {"osc"}
+    if root.exists():
+        for p in root.iterdir():
+            if p.is_dir() and p.name not in live and not p.name.endswith(".tmp"):
+                shutil.rmtree(p)
+                print(f"pruned stale {p.name}")
+    spark = get_spark("local[8]", app_name="gate-warm")
+    for sf in sfs:
+        t0 = time.time()
+        gate.ctx(spark, sf)
+        print(f"warm {sf}: {time.time() - t0:.1f}s → {gate._cache_dir(sf)}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
