@@ -325,14 +325,38 @@ def main() -> None:
         # not time-shared with strangers).
         max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "1.5"))
         load_wait = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "900"))
+        # hypervisor steal: this VM sees transient multi-minute windows
+        # where the host steals most of our cycles (measured: the same
+        # pinned 8-core job 98s in a clean window, 719-1161s inside a
+        # storm, while pure-CPU scaling is 4.1x/4 when clean).  A try
+        # that ran under heavy steal measures the hypervisor, not the
+        # engine: measure steal around each try and re-run tainted ones.
+        max_steal = float(os.environ.get("SPARK_GRAFT_MAX_STEAL_PCT", "12"))
+        extra_budget = int(os.environ.get("SPARK_GRAFT_EXTRA_TRIES", str(2 * tries)))
+
+        def cpu_ticks(n_cores):
+            # steal/total on the cores the try is PINNED to (cpu0..cpuN-1);
+            # steal elsewhere on the host doesn't touch the measurement
+            st = tot = 0
+            want = {f"cpu{i}" for i in range(n_cores)}
+            for ln in open("/proc/stat"):
+                f = ln.split()
+                if f and f[0] in want:
+                    st += int(f[8])
+                    tot += sum(int(x) for x in f[1:11])
+            return st, tot
+
         try_log: list[dict] = []
-        for n in attempts:
+        queue = list(attempts)
+        while queue:
+            n = queue.pop(0)
             time.sleep(cooldown)
             waited = 0
             while os.getloadavg()[0] > max_load and waited < load_wait:
                 time.sleep(30)
                 waited += 30
             load0 = round(os.getloadavg()[0], 2)
+            st0, tot0 = cpu_ticks(n)
             env = os.environ.copy()
             env["SPARK_GRAFT_DRIVER_MEM"] = f"{per_core_mem * n}g"
             pin = [taskset, "-c", f"0-{n - 1}"] if taskset else []
@@ -342,6 +366,8 @@ def main() -> None:
                 capture_output=True, text=True, env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
+            st1, tot1 = cpu_ticks(n)
+            steal_pct = round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 1)
             line = [l for l in out.stdout.splitlines()
                     if l.startswith("RESULT ")]
             if not line:
@@ -349,14 +375,27 @@ def main() -> None:
                     f"subprocess local[{n}] failed: {out.stderr[-2000:]}"
                 )
             r = json.loads(line[-1][len("RESULT "):])
+            tainted = steal_pct > max_steal
             try_log.append(
                 {"n": n, "engine_sec": r["engine_sec"],
-                 "load_at_start": load0, "load_waited_s": waited}
+                 "load_at_start": load0, "load_waited_s": waited,
+                 "steal_pct": steal_pct, "tainted": tainted}
             )
             print(f"TRY {json.dumps(try_log[-1])}", flush=True)
+            if tainted and extra_budget > 0:
+                extra_budget -= 1
+                queue.append(n)  # re-run in (hopefully) a clean window
+                continue  # a steal-storm try never becomes the level min
             if n not in runs or r["engine_sec"] < runs[n]["engine_sec"]:
                 runs[n] = r
         shutil.rmtree(docs_path, ignore_errors=True)
+        for n in (lo, cpus):
+            if n not in runs:  # every try stormed — least-bad fallback
+                best = min((t for t in try_log if t["n"] == n),
+                           key=lambda t: t["engine_sec"])
+                runs[n] = {"engine_sec": best["engine_sec"],
+                           "features_per_sec": 0.0, "queries": {},
+                           "counts": {}, "_all_tainted": True}
         thr_lo = runs[lo]["features_per_sec"]
         thr_hi = runs[cpus]["features_per_sec"]
         eff = (thr_hi / thr_lo) / (cpus / lo)
@@ -389,12 +428,13 @@ def main() -> None:
                 f"- per-stage sec (local[{lo}] → local[{cpus}]): "
                 + ", ".join(
                     f"{k.removeprefix('q_')} {runs[lo]['queries'][k]}→"
-                    f"{runs[cpus]['queries'][k]}"
+                    f"{runs[cpus]['queries'].get(k, '?')}"
                     for k in runs[lo]["queries"]
                 ) + "\n"
-                f"- tries (engine_sec @ 1-min load): "
+                f"- tries (engine_sec @ steal%): "
                 + ", ".join(
-                    f"n={t['n']} {t['engine_sec']}s@{t['load_at_start']}"
+                    f"n={t['n']} {t['engine_sec']}s@{t['steal_pct']}%"
+                    + ("·STORM" if t["tainted"] else "")
                     for t in try_log
                 ) + "\n"
             )

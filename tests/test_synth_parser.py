@@ -112,3 +112,25 @@ def test_noise_spans_pass_through(docs):
     ex = docs.select(F.explode("spans").alias("s"))
     kinds = {r["kind"] for r in ex.select("s.kind").distinct().collect()}
     assert kinds == {"text", "media", "node", "way", "relation"}
+
+
+def test_unified_parse_equals_per_kind(spark, docs, feats):
+    """parse_features_unified + split_features ≡ parse_features (the
+    single-scan path bench/gate/pipeline use must not drift from the
+    reference per-kind semantics)."""
+    from geodesk_gol_spark.sources.parser import (
+        parse_features_unified,
+        split_features,
+    )
+
+    uni = split_features(parse_features_unified(docs))
+    for kind in ("nodes", "ways", "relations", "media"):
+        a = feats[kind].toPandas().sort_values(
+            ["doc_id", "span_seq"]).reset_index(drop=True)
+        b = uni[kind].toPandas().sort_values(
+            ["doc_id", "span_seq"]).reset_index(drop=True)
+        assert a.columns.tolist() == b.columns.tolist(), kind
+        assert len(a) == len(b), kind
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b, check_like=True)
