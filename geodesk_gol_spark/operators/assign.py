@@ -297,10 +297,24 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
             n_pending -= n_new
 
         if n_pending:
-            # cycle break: residue only — collect, resolve in ascending-id
-            # order with whatever member extents exist, flag ``refcycle``
-            # (reference scores + tags geodesk:removed_refcycles,
-            # SuperRelationResolver.cpp:152-235; our spec: id order).
+            # cycle break: residue only — collect, score each cyclic
+            # relation with the reference's heuristic
+            # (SuperRelationResolver.cpp:152-235: +1e9 if it has ONLY
+            # relation members [top of hierarchy], else +1 per node/way
+            # member; type=network +1e8, superroute/route_master +5e7,
+            # site +2e7; admin_level +(14-level)*1e6), then repeatedly
+            # remove ONE rel-member edge from the LOWEST-score relation
+            # until the remainder resolves.  Only edge-losers are flagged
+            # ``refcycle`` (the reference's removedRefcyleCount > 0).
+            # Deterministic tiebreaks (our spec): loser = smallest rel_id
+            # among lowest scores; the removed edge targets the loser's
+            # smallest-id still-cyclic member.
+            pend_tags = {
+                int(r.id): dict(r.tags or {})
+                for r in relations.join(
+                    pending.withColumnRenamed("rel_id", "id"), "id"
+                ).select("id", "tags").toPandas().itertuples()
+            }
             pend_edges = edges.join(pending, "rel_id").toPandas()
             mem_ids = sorted({int(m) for m in pend_edges.member_rel})
             mem_pdf = resolved_all.join(
@@ -345,23 +359,54 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
                     max(a[6], b[6]), max(a[7], b[7]),
                 ]
 
+            def _score(s: int) -> float:
+                tags = pend_tags.get(s, {})
+                nonrel = max(0, drv[s]["n_members"] - len(by_super[s]))
+                score = 1_000_000_000.0 if nonrel == 0 else float(nonrel)
+                t = tags.get("type")
+                if t == "network":
+                    score += 100_000_000
+                elif t in ("superroute", "route_master"):
+                    score += 50_000_000
+                elif t == "site":
+                    score += 20_000_000
+                try:
+                    score += (14 - float(tags.get("admin_level"))) * 1_000_000
+                except (TypeError, ValueError):
+                    pass
+                return score
+
             cyc_resolved: dict[int, tuple] = {}
-            for s in sorted(by_super):
-                ext = drv[s]["ext"]
-                n_res = drv[s]["n_resolved"]
-                lv = 0
-                for m in by_super[s]:
-                    m_ext = None
-                    if m in cyc_resolved and cyc_resolved[m][0] is not None:
-                        m_ext = cyc_resolved[m][0]
-                        lv = max(lv, cyc_resolved[m][1])
-                    elif m in mem_ext:
-                        m_ext = mem_ext[m][0]
-                        lv = max(lv, mem_ext[m][1])
-                    if m_ext is not None:
-                        ext = _merge(ext, m_ext)
-                        n_res += 1
-                cyc_resolved[s] = (ext, lv + 1, n_res)
+            lost_edge: set[int] = set()
+            still = set(by_super)
+            while still:
+                ready = sorted(
+                    s for s in still
+                    if not any(m in still for m in by_super[s])
+                )
+                if not ready:
+                    loser = min(still, key=lambda s: (_score(s), s))
+                    victim = min(m for m in by_super[loser] if m in still)
+                    by_super[loser].remove(victim)
+                    lost_edge.add(loser)
+                    continue
+                for s in ready:
+                    ext = drv[s]["ext"]
+                    n_res = drv[s]["n_resolved"]
+                    lv = 0
+                    for m in by_super[s]:
+                        m_ext = None
+                        if m in cyc_resolved and cyc_resolved[m][0] is not None:
+                            m_ext = cyc_resolved[m][0]
+                            lv = max(lv, cyc_resolved[m][1])
+                        elif m in mem_ext:
+                            m_ext = mem_ext[m][0]
+                            lv = max(lv, mem_ext[m][1])
+                        if m_ext is not None:
+                            ext = _merge(ext, m_ext)
+                            n_res += 1
+                    cyc_resolved[s] = (ext, lv + 1, n_res)
+                    still.discard(s)
             rows = [
                 {
                     "rel_id": s, "n_members": drv[s]["n_members"],
@@ -370,7 +415,7 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
                     "maxc": int(ext[2]), "maxr": int(ext[3]),
                     "minx": int(ext[4]), "miny": int(ext[5]),
                     "maxx": int(ext[6]), "maxy": int(ext[7]),
-                    "level": int(lv), "refcycle": True,
+                    "level": int(lv), "refcycle": s in lost_edge,
                 }
                 for s, (ext, lv, n_res) in cyc_resolved.items()
                 if ext is not None

@@ -70,9 +70,32 @@ def test_cycle_with_anchor_breaks_deterministically(spark, world):
     rows = {r.id: r for r in ext.collect()}
     assert unresolved.count() == 0
     assert set(rows) == {900, 901}
-    assert rows[900].refcycle and rows[901].refcycle
+    # reference scoring (SuperRelationResolver.cpp:152-235): 901 has ONLY
+    # relation members (+1e9, hierarchy top) while 900 scores 1 (one way
+    # member) — 900 loses its rel-member edge and alone carries the
+    # refcycle flag; 901 then resolves normally through 900
+    assert rows[900].refcycle and not rows[901].refcycle
     # 901 inherits 900's extent (which came from way 100)
     assert rows[901].minc == rows[900].minc
+
+
+def test_cycle_break_prefers_scored_loser(spark, world):
+    """type=network outranks an untyped peer: the untyped one loses."""
+    points, wext = world
+    rels = _rels(
+        spark,
+        [
+            (910, [(2, 911, "a"), (1, 100, "w")], {"type": "network"}, "x", 0),
+            (911, [(2, 910, "a"), (1, 101, "w")], {}, "x", 1),
+        ],
+    )
+    ext, unresolved = relation_extents(rels, points, wext)
+    rows = {r.id: r for r in ext.collect()}
+    assert unresolved.count() == 0
+    assert not rows[910].refcycle and rows[911].refcycle
+    # 910 (kept its edge) spans both ways; 911 only its own anchor
+    assert rows[910].minc <= rows[911].minc
+    assert rows[910].n_resolved == 2 and rows[911].n_resolved == 1
 
 
 def test_self_reference_dropped(spark, world):
