@@ -282,6 +282,24 @@ def _q_p1_goql_highway_names(spark, sf):
     )
 
 
+def _q_p1_goql_valuelist_regex(spark, sf):
+    """GOQL value-alternative list + regex clause (public GOQL grammar:
+    [k=v1,v2] any-of, [k~'re'] full-string regex)."""
+    from geodesk_gol_spark.query.goql import goql_to_column
+
+    c = ctx(spark, sf)
+    return (
+        c["store"]
+        .filter(
+            ~F.col("is_ghost")
+            & goql_to_column(
+                "n[amenity=cafe,parking][name~'[AB][0-9]*[02468]']"
+            )
+        )
+        .select("typed_id").distinct()
+    )
+
+
 def _q_p1_goql_union(spark, sf):
     from geodesk_gol_spark.query.goql import goql_to_column
 
@@ -604,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o9_check_store": _q_o9_check_store,
         "p1_goql_highway_names": _q_p1_goql_highway_names,
         "p1_goql_union": _q_p1_goql_union,
+        "p1_goql_valuelist_regex": _q_p1_goql_valuelist_regex,
         "p2_bbox_query": _q_p2_bbox_query,
         "p3_polygon_query": _q_p3_polygon_query,
         "p3_polygon_ways": _q_p3_polygon_ways,
@@ -735,6 +754,11 @@ def oracle_sql() -> dict[str, str]:
             UNION
             SELECT id * 4 + 2 FROM ({sqlgen.relations_select()})
             WHERE boundary = 'administrative'
+        """,
+        "p1_goql_valuelist_regex": f"""
+            SELECT id * 4 AS typed_id FROM ({sqlgen.nodes_select()})
+            WHERE amenity IN ('cafe', 'parking')
+              AND regexp_matches(name, '^(?:[AB][0-9]*[02468])$')
         """,
         "p2_bbox_query": _ORACLE_P2,
         "s8_osc_roundtrip": _prefix(cell_tile=True) + f"""

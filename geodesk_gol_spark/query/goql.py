@@ -14,8 +14,10 @@ Grammar:
     clause   := '[' '!' key ']'                    -- key absent
               | '[' key ']'                        -- key present
               | '[' key op value ']'
-    op       := '=' | '!=' | '>' | '>=' | '<' | '<='
-    value    := "'...'" | '"..."' | bare (with '*' wildcards for =/!=)
+    op       := '=' | '!=' | '~' | '!~' | '>' | '>=' | '<' | '<='
+    value    := "'...'" | '"..."' | bare (with '*' wildcards for =/!=);
+                '='/'!=' accept a comma list (v1,v2) = any-of / none-of;
+                '~'/'!~' take a regex, matched against the FULL value
 
 Semantics (matching the reference):
     n=node, w=linear way, a=area (closed way or area relation),
@@ -30,7 +32,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 _SEL_RE = re.compile(r"^\s*(\*|[nwar]+)")
-_CLAUSE_RE = re.compile(r"\[\s*(!?)\s*([A-Za-z0-9_:]+)\s*(?:(!=|>=|<=|=|>|<)\s*([^\]]*?))?\s*\]")
+_CLAUSE_RE = re.compile(
+    r"\[\s*(!?)\s*([A-Za-z0-9_:]+)"
+    r"\s*(?:(!=|!~|>=|<=|=|~|>|<)\s*('[^']*'|\"[^\"]*\"|[^\]]*?))?\s*\]"
+)
 
 
 class GoqlError(ValueError):
@@ -81,20 +86,56 @@ def _unquote(v: str) -> tuple[str, bool]:
     return v, False
 
 
+def _split_values(raw: str) -> list[str]:
+    """Comma-separated value alternatives, commas inside quotes kept."""
+    out, cur, quote = [], [], ""
+    for ch in raw:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = ""
+        elif ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == ",":
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [v for v in (x.strip() for x in out) if v]
+
+
 def _value_clause(key: str, op: str, raw: str) -> Column:
     tag = F.col("tags").getItem(key)
-    val, quoted = _unquote(raw)
+    if op in ("~", "!~"):
+        # regex match over the full value (GOQL ~); dialect is the
+        # engine's (Java) — keep patterns in the portable common subset
+        pat, _ = _unquote(raw)
+        pos = tag.rlike(f"^(?:{pat})$")
+        if op == "~":
+            return tag.isNotNull() & pos
+        return tag.isNull() | ~pos
     if op in ("=", "!="):
-        if not quoted and "*" in val:
-            pat = val.replace("%", r"\%").replace("_", r"\_").replace("*", "%")
-            pos = tag.like(pat)
-        else:
-            pos = tag == F.lit(val)
+        alts = []
+        for item in _split_values(raw):
+            val, quoted = _unquote(item)
+            if not quoted and "*" in val:
+                pat = val.replace("%", r"\%").replace("_", r"\_").replace("*", "%")
+                alts.append(tag.like(pat))
+            else:
+                alts.append(tag == F.lit(val))
+        if not alts:
+            raise GoqlError(f"empty value in [{key}{op}]")
+        pos = alts[0]
+        for a in alts[1:]:
+            pos = pos | a
         if op == "=":
             return tag.isNotNull() & pos
         # negative clause: absent key also matches (v2.2.3.md semantics)
         return tag.isNull() | ~pos
     # numeric comparison: non-numeric tag values never match
+    val, _ = _unquote(raw)
     num = tag.try_cast("double")
     try:
         fval = float(val)

@@ -108,9 +108,38 @@ def test_goql_negative_clause_semantics(built):
 
 
 def test_goql_errors():
-    for bad in ["", "x[foo]", "n[name>abc]", "n[!k=v]"]:
+    for bad in ["", "x[foo]", "n[name>abc]", "n[!k=v]", "n[amenity=]"]:
         with pytest.raises(GoqlError):
             goql_to_column(bad)
+
+
+def test_goql_value_list_is_union(built):
+    """[k=v1,v2] = any-of; [k!=v1,v2] = none-of (absent included)."""
+    _, store = built
+    homes = store.filter(~F.col("is_ghost") & (F.col("ftype") == 0)).dropDuplicates(
+        ["typed_id"]
+    )
+    n_cafe = homes.filter(goql_to_column("n[amenity=cafe]")).count()
+    n_park = homes.filter(goql_to_column("n[amenity=parking]")).count()
+    n_both = homes.filter(goql_to_column("n[amenity=cafe,parking]")).count()
+    assert n_both == n_cafe + n_park > 0
+    n_neither = homes.filter(
+        goql_to_column("n[amenity!=cafe,parking]")
+    ).count()
+    assert n_both + n_neither == homes.count()
+
+
+def test_goql_regex_full_match(built):
+    """[k~'re'] anchors the regex to the whole value."""
+    _, store = built
+    homes = store.filter(~F.col("is_ghost") & (F.col("ftype") == 0)).dropDuplicates(
+        ["typed_id"]
+    )
+    # 'A' alone must NOT match 'A123' (full-string semantics)
+    assert homes.filter(goql_to_column("n[name~'A']")).count() == 0
+    n_a = homes.filter(goql_to_column("n[name~'A[0-9]+']")).count()
+    n_like = homes.filter(goql_to_column("n[name=A*]")).count()
+    assert n_a == n_like > 0
 
 
 def test_cross_format_consistency(built, spark):
