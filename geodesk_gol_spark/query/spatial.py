@@ -259,9 +259,16 @@ def knn_bruteforce(
     )
 
 
-def _ring_pass(points: DataFrame, queries: DataFrame, k: int, ring: int,
+def _ring_pass(pts: DataFrame, queries: DataFrame, k: int, ring: int,
                cell_bits: int) -> tuple[DataFrame, DataFrame]:
-    """One candidate-ring pass: (ranked top-k, q_ids provably final)."""
+    """One candidate-ring pass: (ranked top-k, q_ids provably final).
+
+    ``pts`` must already carry base-grid columns (cc, cr) at
+    ``cell_bits`` — computed ONCE by the caller and shared by every
+    escalation pass (the ring doubles by coarsening the QUERY side:
+    a 2x ring at the base grid = the same cells expressed as offsets,
+    so only the broadcast offset table grows, never the points scan).
+    """
     from pyspark.sql import Window
 
     cell = 1 << cell_bits
@@ -276,9 +283,6 @@ def _ring_pass(points: DataFrame, queries: DataFrame, k: int, ring: int,
         .select("q_id", "qx", "qy", (F.col("qc") + F.col("dc")).alias("cc"),
                 (F.col("qr") + F.col("dr")).alias("cr"))
     )
-    pts = points.withColumn(
-        "cc", F.floor(F.col("x") / cell).cast("int")
-    ).withColumn("cr", F.floor(F.col("y") / cell).cast("int"))
     cand = pts.join(F.broadcast(qcells), ["cc", "cr"])
     d = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
         F.col("y") - F.col("qy")
@@ -327,11 +331,15 @@ def knn_cell_rings(
     take the brute-force path, and that set is tiny by construction
     (sparse-world queries with < k points within ~2^(bits+ring) units).
     """
+    cell = 1 << cell_bits
+    pts = points.withColumn(
+        "cc", F.floor(F.col("x") / cell).cast("int")
+    ).withColumn("cr", F.floor(F.col("y") / cell).cast("int")).persist()
     remaining = queries
     parts: list[DataFrame] = []
     r = ring
     for _ in range(escalations + 1):
-        ranked, sure = _ring_pass(points, remaining, k, r, cell_bits)
+        ranked, sure = _ring_pass(pts, remaining, k, r, cell_bits)
         parts.append(ranked.join(sure, "q_id", "left_semi"))
         remaining = remaining.join(sure, "q_id", "left_anti").localCheckpoint()
         if remaining.isEmpty():
