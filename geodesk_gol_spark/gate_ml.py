@@ -260,6 +260,23 @@ def sql_dedup_embed_cosine(t: str, d: str, n_planes: int = 8,
     """
 
 
+def sql_sample_stratified(t: str, d: str, per_stratum: int = 40) -> str:
+    """Deterministic stratified sample: top-N docs per language stratum,
+    ordered by a salted md5 of the doc id (a keyed permutation — no RNG,
+    so the sample is reproducible and engine-independent).  At 100 TB the
+    window is a per-stratum top-N (TakeOrdered-style partial per
+    partition, merged once); hot strata never gather unsampled rows."""
+    return f"""
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(concat('smp:', doc_id)), doc_id) AS INT) AS rk
+      FROM {t}
+    ) WHERE rk <= {per_stratum}
+    """
+
+
 def sql_text_langid(t: str, d: str) -> str:
     return f"""
     SELECT doc_id, lang,
@@ -532,6 +549,7 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _sql_query(sql_dedup_simhash, "documents"),
         "dedup_simhash_pairs": _sql_query(sql_dedup_simhash_pairs, "documents"),
         "dedup_embed_cosine": _sql_query(sql_dedup_embed_cosine, "embeddings"),
+        "sample_stratified": _sql_query(sql_sample_stratified, "documents"),
         "text_langid": _sql_query(sql_text_langid, "documents"),
         "text_quality": _sql_query(sql_text_quality, "documents"),
         "text_tokens_by_lang": _sql_query(sql_text_tokens_by_lang, "documents"),
@@ -565,6 +583,7 @@ def ml_oracle_sql() -> dict[str, str]:
         "dedup_simhash": sql_dedup_simhash("documents", "duck"),
         "dedup_simhash_pairs": sql_dedup_simhash_pairs("documents", "duck"),
         "dedup_embed_cosine": sql_dedup_embed_cosine("embeddings", "duck"),
+        "sample_stratified": sql_sample_stratified("documents", "duck"),
         "text_langid": sql_text_langid("documents", "duck"),
         "text_quality": sql_text_quality("documents", "duck"),
         "text_tokens_by_lang": sql_text_tokens_by_lang("documents", "duck"),
