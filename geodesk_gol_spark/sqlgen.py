@@ -343,19 +343,19 @@ def pyramid_ctes(nodes_cte: str, density: int) -> str:
         f"FROM {nodes_cte} GROUP BY cell_col, cell_row)",
         f"s12 AS (SELECT c, r, cnt FROM cells WHERE cnt >= {density})",
         f"r9 AS (SELECT CAST(floor(c / 8.0) AS INT) AS c, "
-        f"CAST(floor(r / 8.0) AS INT) AS r, sum(cnt) AS cnt "
+        f"CAST(floor(r / 8.0) AS INT) AS r, CAST(sum(cnt) AS BIGINT) AS cnt "
         f"FROM cells WHERE cnt < {density} GROUP BY 1, 2)",
         f"s9 AS (SELECT c, r, cnt FROM r9 WHERE cnt >= {density})",
         f"r6 AS (SELECT CAST(floor(c / 8.0) AS INT) AS c, "
-        f"CAST(floor(r / 8.0) AS INT) AS r, sum(cnt) AS cnt "
+        f"CAST(floor(r / 8.0) AS INT) AS r, CAST(sum(cnt) AS BIGINT) AS cnt "
         f"FROM r9 WHERE cnt < {density} GROUP BY 1, 2)",
         f"s6 AS (SELECT c, r, cnt FROM r6 WHERE cnt >= {density})",
         f"r3 AS (SELECT CAST(floor(c / 8.0) AS INT) AS c, "
-        f"CAST(floor(r / 8.0) AS INT) AS r, sum(cnt) AS cnt "
+        f"CAST(floor(r / 8.0) AS INT) AS r, CAST(sum(cnt) AS BIGINT) AS cnt "
         f"FROM r6 WHERE cnt < {density} GROUP BY 1, 2)",
         f"s3 AS (SELECT c, r, cnt FROM r3 WHERE cnt >= {density})",
-        f"s0 AS (SELECT 0 AS c, 0 AS r, COALESCE(sum(cnt), 0) AS cnt "
-        f"FROM r3 WHERE cnt < {density})",
+        f"s0 AS (SELECT 0 AS c, 0 AS r, CAST(COALESCE(sum(cnt), 0) AS BIGINT) "
+        f"AS cnt FROM r3 WHERE cnt < {density})",
     ]
     return ",\n".join(parts)
 

@@ -74,6 +74,20 @@ def main() -> int:
                 pd.testing.assert_frame_equal(g, w, check_dtype=False)
             except AssertionError as e:
                 status = "VALUE MISMATCH: " + str(e).splitlines()[0][:150]
+            else:
+                # the driver hashes FORMATTED values, so int64 9201 vs
+                # float64 9201.0 is a hash-red row even when values match
+                bad = [
+                    c for c in g.columns
+                    if (pd.api.types.is_float_dtype(g[c])
+                        != pd.api.types.is_float_dtype(w[c]))
+                ]
+                if bad:
+                    status = (
+                        "DTYPE DIFF (driver hash-red): "
+                        + ", ".join(f"{c}: {g[c].dtype} vs {w[c].dtype}"
+                                    for c in bad)
+                    )
         if status != "OK":
             failures.append(name)
         print(f"{name}: {status} rows={len(g)} [spark {t1 - t0:.1f}s, "
