@@ -374,12 +374,17 @@ def _q_p3_polygon_ways(spark, sf):
 
 
 _OSC_NEW_BASE = 9_000_000_000
+# change-doc ids are capped at a CONSTANT, so the driver-side collects
+# that write the .osc fixture stay O(1) as the corpus grows (≤ ~930 ids
+# at any scale factor; covers every eligible id at sf0.001)
+_OSC_ID_CAP = 60_000
 
 
 def _osc_text_for(spark, sf) -> str:
     """Deterministic OsmChange doc derived from the corpus: modify
-    amenity for id%97 nodes, delete id%193 nodes, create 10 nodes cloning
-    the 10 smallest node ids' locations."""
+    amenity for id%97 nodes, delete id%193 nodes (both capped at
+    id<=_OSC_ID_CAP), create 10 nodes cloning the 10 smallest node ids'
+    locations."""
     from decimal import Decimal
 
     c = ctx(spark, sf)
@@ -387,11 +392,14 @@ def _osc_text_for(spark, sf) -> str:
     mods = [
         r.id for r in nodes.filter(
             (F.col("id") % 97 == 0) & (F.col("id") % 193 != 0)
+            & (F.col("id") <= _OSC_ID_CAP)
         ).select("id").orderBy("id").collect()
     ]
     dels = [
         r.id
-        for r in nodes.filter(F.col("id") % 193 == 0)
+        for r in nodes.filter(
+            (F.col("id") % 193 == 0) & (F.col("id") <= _OSC_ID_CAP)
+        )
         .select("id").orderBy("id").collect()
     ]
     clones = nodes.orderBy("id").limit(10).collect()
@@ -452,7 +460,8 @@ def _q_s8_osc_roundtrip(spark, sf):
     ).select("typed_id", "id", "tags", "tile_id")
     merged = merge_changes(store_nodes, ch)
     return merged.filter(
-        (F.col("id") % 97 == 0) | (F.col("id") % 193 == 0)
+        (((F.col("id") % 97 == 0) | (F.col("id") % 193 == 0))
+         & (F.col("id") <= _OSC_ID_CAP))
         | (F.col("id") >= _OSC_NEW_BASE)
     ).select(
         "typed_id",
@@ -767,6 +776,7 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n
             JOIN cell_tile ct ON ct.c = n.cell_col AND ct.r = n.cell_row
             WHERE n.id % 97 = 0 AND n.id % 193 <> 0
+              AND n.id <= {_OSC_ID_CAP}
             UNION ALL
             SELECT ({_OSC_NEW_BASE} + f.j) * 4 AS typed_id,
                    'bench_cafe' AS amenity, ct.tile_id AS tile_id

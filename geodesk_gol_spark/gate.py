@@ -71,7 +71,14 @@ def _materialize(spark: SparkSession, sf_dir: str) -> Path:
     every stage independently resumable.
     """
     d = _cache_dir(sf_dir)
-    tmp = d.with_name(d.name + ".tmp")
+    # per-process staging dir: two concurrent builders of the same
+    # (sf, fingerprint) must not rmtree/overwrite each other's in-flight
+    # writes (concurrent Spark overwrites of one dir can leave a union
+    # of both jobs' part-files); the rename below keeps the existing
+    # lost-the-race check.
+    import os
+
+    tmp = d.with_name(f"{d.name}.tmp.{os.getpid()}")
     if tmp.exists():
         import shutil
 

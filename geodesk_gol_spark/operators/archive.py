@@ -114,10 +114,18 @@ def _fetch_archive(url: str, cache_dir: str) -> str:
             raise ValueError(f"unsafe file name in manifest: {name!r}")
         dst = os.path.join(cache_dir, "tiles", name)
         if os.path.exists(dst):
-            continue  # resumable: already-fetched parts are kept
-        with urlopen(f"{base}/tiles/{name}") as r, open(dst, "wb") as f:
+            continue  # resumable: only FULLY fetched parts are kept —
+            # in-flight data goes to dst.part and is renamed on success,
+            # so a crash mid-download never leaves a truncated parquet
+            # that a later verify=False load would consume silently.
+        # dot-prefixed staging name: Spark's parquet reader skips hidden
+        # files, so a stale .part from a crashed fetch can't break the
+        # later directory scan either
+        part = os.path.join(cache_dir, "tiles", f".{name}.part")
+        with urlopen(f"{base}/tiles/{name}") as r, open(part, "wb") as f:
             while chunk := r.read(1 << 20):
                 f.write(chunk)
+        os.replace(part, dst)
     return cache_dir
 
 

@@ -57,10 +57,13 @@ def merge_changes(store_rows: DataFrame, changes: DataFrame) -> DataFrame:
     changes: (typed_id, op, revision, change_seq, tags, + any store
     columns for creates, e.g. tile_id from the assignment pipeline) —
     deletes drop every copy (home + ghost); modifies replace tags;
-    creates not present in the store are INSERTED (reference applies
+    upserts not present in the store are INSERTED (reference applies
     adds via TileCompiler.addChanges, src/change/Updater.cpp:68-84).
-    A create whose typed_id already exists behaves as a modify, matching
-    the reference's idempotent re-apply of a replication diff.
+    A create whose typed_id already exists behaves as a modify, and a
+    surviving change that is absent from the store is inserted even when
+    its latest op is 'modify' — a batch may contain create→modify of the
+    same feature, and latest-wins keeps only the modify row; the
+    reference's revision-ordered apply retains that feature too.
     """
     latest = latest_changes(changes)
     deletes = latest.filter(F.col("op") == "delete").select("typed_id")
@@ -77,11 +80,12 @@ def merge_changes(store_rows: DataFrame, changes: DataFrame) -> DataFrame:
         .withColumn("tags", F.coalesce(F.col("_new_tags"), F.col("tags")))
         .drop("_new_tags")
     )
-    # INSERT arm: creates whose typed_id is not stored become new rows,
-    # carrying whatever store columns the caller attached (tile_id etc.);
-    # missing columns null-fill so the union stays schema-stable.
+    # INSERT arm: any surviving upsert whose typed_id is not stored
+    # becomes a new row (not just op=='create' — see docstring), carrying
+    # whatever store columns the caller attached (tile_id etc.); missing
+    # columns null-fill so the union stays schema-stable.
     inserts = (
-        upserts.filter(F.col("op") == "create")
+        upserts
         .join(store_rows.select("typed_id"), "typed_id", "left_anti")
         .drop("op", "revision", "change_seq")
     )
