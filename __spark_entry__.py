@@ -314,6 +314,33 @@ def _q_p1_goql_union(spark, sf):
     )
 
 
+def _q_p1_goql_area_leisure(spark, sf):
+    """GOQL area query over an accept-all rule key: a[leisure=park]
+    (reference: `gol query <gol> "a[leisure=park]"`, rule table
+    AreaClassifier.cpp:11-39)."""
+    from geodesk_gol_spark.query.goql import goql_to_column
+
+    c = ctx(spark, sf)
+    return (
+        c["store"].filter(~F.col("is_ghost") & goql_to_column("a[leisure=park]"))
+        .select("typed_id").distinct()
+    )
+
+
+def _q_p1_goql_area_natural(spark, sf):
+    """GOQL area query across an except-rule key: a[natural] matches
+    closed natural=water ways but NOT natural=cliff/tree_row ways
+    (cliff/tree_row are rule exceptions, so those ways are linear —
+    not areas — and fall outside the `a` type filter)."""
+    from geodesk_gol_spark.query.goql import goql_to_column
+
+    c = ctx(spark, sf)
+    return (
+        c["store"].filter(~F.col("is_ghost") & goql_to_column("a[natural]"))
+        .select("typed_id").distinct()
+    )
+
+
 # bbox for P2/P3: center of the dense cluster in world coords
 _BB = (1116000000, 638000000, 1126000000, 648000000)
 
@@ -632,6 +659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_goql_highway_names": _q_p1_goql_highway_names,
         "p1_goql_union": _q_p1_goql_union,
         "p1_goql_valuelist_regex": _q_p1_goql_valuelist_regex,
+        "p1_goql_area_leisure": _q_p1_goql_area_leisure,
+        "p1_goql_area_natural": _q_p1_goql_area_natural,
         "p2_bbox_query": _q_p2_bbox_query,
         "p3_polygon_query": _q_p3_polygon_query,
         "p3_polygon_ways": _q_p3_polygon_ways,
@@ -755,7 +784,7 @@ def oracle_sql() -> dict[str, str]:
         "p1_goql_highway_names": f"""
             SELECT id * 4 + 1 AS typed_id FROM ({sqlgen.ways_select()})
             WHERE highway IS NOT NULL AND name LIKE 'A%'
-              AND NOT (closed AND building IS NOT NULL)
+              AND NOT (closed AND {sqlgen.way_area_sql()})
         """,
         "p1_goql_union": f"""
             SELECT id * 4 AS typed_id FROM ({sqlgen.nodes_select()})
@@ -768,6 +797,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT id * 4 AS typed_id FROM ({sqlgen.nodes_select()})
             WHERE amenity IN ('cafe', 'parking')
               AND regexp_matches(name, '^(?:[AB][0-9]*[02468])$')
+        """,
+        "p1_goql_area_leisure": f"""
+            SELECT id * 4 + 1 AS typed_id FROM ({sqlgen.ways_select()})
+            WHERE closed AND {sqlgen.way_area_sql()} AND leisure = 'park'
+        """,
+        "p1_goql_area_natural": f"""
+            SELECT id * 4 + 1 AS typed_id FROM ({sqlgen.ways_select()})
+            WHERE closed AND {sqlgen.way_area_sql()}
+              AND natural_val IS NOT NULL
         """,
         "p2_bbox_query": _ORACLE_P2,
         "s8_osc_roundtrip": _prefix(cell_tile=True) + f"""
@@ -802,7 +840,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "f7_area_ways": f"""
             SELECT id AS way_id,
-                   (closed AND building IS NOT NULL) AS is_area
+                   (closed AND {sqlgen.way_area_sql()}) AS is_area
             FROM ({sqlgen.ways_select()})
         """,
         "f8_closed_rings": f"""
@@ -1018,6 +1056,14 @@ strs AS (
   UNION ALL SELECT name FROM ways WHERE name IS NOT NULL
   UNION ALL SELECT 'building' FROM ways WHERE building IS NOT NULL
   UNION ALL SELECT building FROM ways WHERE building IS NOT NULL
+  UNION ALL SELECT 'leisure' FROM ways WHERE leisure IS NOT NULL
+  UNION ALL SELECT leisure FROM ways WHERE leisure IS NOT NULL
+  UNION ALL SELECT 'natural' FROM ways WHERE natural_val IS NOT NULL
+  UNION ALL SELECT natural_val FROM ways WHERE natural_val IS NOT NULL
+  UNION ALL SELECT 'railway' FROM ways WHERE railway IS NOT NULL
+  UNION ALL SELECT railway FROM ways WHERE railway IS NOT NULL
+  UNION ALL SELECT 'area' FROM ways WHERE area_val IS NOT NULL
+  UNION ALL SELECT area_val FROM ways WHERE area_val IS NOT NULL
   UNION ALL SELECT 'boundary' FROM rels r JOIN qcust q
     ON q.c_custkey = r.id - {sqlgen.CUST_REL_BASE} WHERE r.boundary IS NOT NULL
   UNION ALL SELECT r.boundary FROM rels r JOIN qcust q

@@ -101,8 +101,12 @@ def _node_payload_cols(df: DataFrame) -> DataFrame:
     )
 
 
-def _tags_expr(*cols: str):
-    pairs = ", ".join(f"'{c}', {c}" for c in cols)
+def _tags_expr(*cols):
+    """map of tag key → column, NULLs dropped.  Each item is a column
+    name used as the key, or a (key, column) pair when the key is not a
+    safe identifier (e.g. 'natural', 'area')."""
+    items = [(c, c) if isinstance(c, str) else c for c in cols]
+    pairs = ", ".join(f"'{k}', {c}" for k, c in items)
     return F.expr(f"map_filter(map({pairs}), (k, v) -> v IS NOT NULL)")
 
 
@@ -175,6 +179,10 @@ def synth_docs(
         f"{sqlgen.WAY_HIGHWAY.replace('o_orderkey', 'orderkey')} AS highway",
         f"{sqlgen.WAY_NAME.replace('o_orderkey', 'orderkey')} AS name",
         f"{sqlgen.WAY_BUILDING.replace('o_orderkey', 'orderkey')} AS building",
+        f"{sqlgen.WAY_LEISURE.replace('o_orderkey', 'orderkey')} AS leisure",
+        f"{sqlgen.WAY_NATURAL.replace('o_orderkey', 'orderkey')} AS natural_val",
+        f"{sqlgen.WAY_RAILWAY.replace('o_orderkey', 'orderkey')} AS railway",
+        f"{sqlgen.WAY_AREATAG.replace('o_orderkey', 'orderkey')} AS area_val",
     ).select(
         F.concat(F.lit("doc-"), F.col("orderkey").cast("string")).alias("doc_id"),
         F.lit(1_000_000).cast("long").alias("seq"),
@@ -183,7 +191,10 @@ def synth_docs(
             F.struct(
                 F.col("orderkey").alias("id"),
                 F.col("node_ids").alias("nodes"),
-                _tags_expr("highway", "name", "building").alias("tags"),
+                _tags_expr(
+                    "highway", "name", "building", "leisure", "railway",
+                    ("natural", "natural_val"), ("area", "area_val"),
+                ).alias("tags"),
             )
         ).alias("text"),
         F.lit(None).cast("string").alias("media_ref"),

@@ -196,6 +196,28 @@ WAY_NAME = (
     f"ELSE NULL END"
 )
 WAY_BUILDING = f"CASE WHEN {WH} % 5 = 0 THEN 'yes' ELSE NULL END"
+# second hash stream decorrelates the area-rule tag keys from the first
+WH2 = h_expr("o_orderkey", 2246822519)
+# tag streams exercising each area-rule form (AreaClassifier.cpp:11-39):
+# leisure = accept-all rule; natural = except-rule (water is an area,
+# cliff/tree_row are exceptions); railway = only-rule (station yes,
+# rail no); area = the definite key (any value decides for ways).
+WAY_LEISURE = (
+    f"CASE WHEN {WH2} % 6 = 0 THEN 'park' "
+    f"WHEN {WH2} % 6 = 1 THEN 'pitch' ELSE NULL END"
+)
+WAY_NATURAL = (
+    f"CASE WHEN {WH2} % 7 = 2 THEN 'water' WHEN {WH2} % 7 = 3 THEN 'cliff' "
+    f"WHEN {WH2} % 7 = 4 THEN 'tree_row' ELSE NULL END"
+)
+WAY_RAILWAY = (
+    f"CASE WHEN {WH2} % 11 = 5 THEN 'station' "
+    f"WHEN {WH2} % 11 = 6 THEN 'rail' ELSE NULL END"
+)
+WAY_AREATAG = (
+    f"CASE WHEN {WH2} % 13 = 7 THEN 'yes' "
+    f"WHEN {WH2} % 13 = 8 THEN 'no' ELSE NULL END"
+)
 # closed ring iff hash says so AND the way has >= 3 distinct nodes
 # (ring semantics: src/build/sort/Sorter.cpp:274-291)
 WAY_CLOSED = f"({WH} % 7 = 0)"
@@ -211,12 +233,37 @@ def ways_select(orders: str = "orders", lineitem: str = "lineitem") -> str:
        AND c.n_nodes >= 3 THEN TRUE ELSE FALSE END AS closed,
   {WAY_HIGHWAY.replace('o_orderkey', 'o.o_orderkey')} AS highway,
   {WAY_NAME.replace('o_orderkey', 'o.o_orderkey')} AS name,
-  {WAY_BUILDING.replace('o_orderkey', 'o.o_orderkey')} AS building
+  {WAY_BUILDING.replace('o_orderkey', 'o.o_orderkey')} AS building,
+  {WAY_LEISURE.replace('o_orderkey', 'o.o_orderkey')} AS leisure,
+  {WAY_NATURAL.replace('o_orderkey', 'o.o_orderkey')} AS natural_val,
+  {WAY_RAILWAY.replace('o_orderkey', 'o.o_orderkey')} AS railway,
+  {WAY_AREATAG.replace('o_orderkey', 'o.o_orderkey')} AS area_val
 FROM {orders} o
 JOIN (SELECT l_orderkey, count(DISTINCT l_linenumber) AS n_nodes
       FROM {lineitem} GROUP BY l_orderkey) c
   ON c.l_orderkey = o.o_orderkey
 WHERE c.n_nodes >= 2"""
+
+
+def way_area_sql() -> str:
+    """Tag half of the way area verdict over the synth way columns —
+    the reference's DEFAULT rule table (AreaClassifier.cpp:11-39)
+    restricted to keys the corpus synthesizes; all other rule keys are
+    NULL everywhere and drop out of the OR.  ``area`` is the definite
+    key: when present, its (accept-all) rule alone decides
+    (AreaClassifier.cpp:211-261).  Every arm is NULL-guarded so the
+    verdict is always TRUE/FALSE, never NULL."""
+    general = (
+        "(building IS NOT NULL OR leisure IS NOT NULL"
+        " OR (natural_val IS NOT NULL AND natural_val NOT IN"
+        " ('coastline', 'cliff', 'ridge', 'arete', 'tree_row'))"
+        " OR (railway IS NOT NULL AND railway IN"
+        " ('station', 'turntable', 'roundhouse', 'platform'))"
+        " OR (highway IS NOT NULL AND highway IN"
+        " ('services', 'rest_area', 'escape', 'elevator'))"
+        " OR area_val IS NOT NULL)"
+    )
+    return f"(CASE WHEN area_val IS NOT NULL THEN TRUE ELSE {general} END)"
 
 
 def way_members_select(orders: str = "orders", lineitem: str = "lineitem") -> str:
