@@ -314,6 +314,114 @@ def _q_p1_goql_union(spark, sf):
     )
 
 
+def _q_p1_goql_quoted_key(spark, sf):
+    """Quoted keys carry any chars — ["addr:street"=Main*]."""
+    from geodesk_gol_spark.query.goql import goql_to_column
+
+    c = ctx(spark, sf)
+    return (
+        c["store"]
+        .filter(~F.col("is_ghost") & goql_to_column('n["addr:street"=Main*]'))
+        .select("typed_id").distinct()
+    )
+
+
+def _q_p1_goql_negation(spark, sf):
+    """Negative clause semantics (v2.2.3 bugfix): [k!=v] matches when k
+    is ABSENT or differs."""
+    from geodesk_gol_spark.query.goql import goql_to_column
+
+    c = ctx(spark, sf)
+    return (
+        c["store"]
+        .filter(~F.col("is_ghost")
+                & goql_to_column('n[amenity]["addr:street"!=\'Main Street\']'))
+        .select("typed_id").distinct()
+    )
+
+
+def _q_s5_archive_manifest(spark, sf):
+    """S5 manifest counts: per-tile row/ghost counts exactly as
+    save_tiles records them (the checksum itself is xxhash64-based and
+    engine-specific, so the gate verifies the count half; the checksum
+    round-trip is covered by tests/test_archive_map_strings.py)."""
+    c = ctx(spark, sf)
+    return c["store"].groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("is_ghost").cast("long")).alias("n_ghosts"),
+    )
+
+
+def _q_p4_key_projection(spark, sf):
+    """P4 -k key projection: csv-style (id, lon, lat, requested keys)."""
+    from geodesk_gol_spark.query.formats import node_csv
+
+    c = ctx(spark, sf)
+    nodes = c["feats"]["nodes"].filter(F.col("tags")["amenity"].isNotNull())
+    return node_csv(nodes, ["highway", "name", "amenity"])
+
+
+def _q_a7_count_formats(spark, sf):
+    """A7 consistency: -f count equals the line counts of every text
+    sink over the same feature set (a sink that drops or duplicates
+    rows breaks this row)."""
+    from geodesk_gol_spark.query import formats as FMT
+
+    c = ctx(spark, sf)
+    nodes = c["feats"]["nodes"].filter(F.col("tags")["amenity"].isNotNull())
+    ways = c["feats"]["ways"]
+    all_nodes = c["feats"]["nodes"]
+    parts = [
+        nodes.agg(F.count(F.lit(1)).alias("n_count")),
+        FMT.node_geojsonl(nodes).agg(F.count(F.lit(1)).alias("n_geojson")),
+        FMT.node_wkt(nodes).agg(F.count(F.lit(1)).alias("n_wkt")),
+        FMT.id_list(nodes.withColumn("ftype", F.lit(0)))
+        .agg(F.count(F.lit(1)).alias("n_list")),
+        FMT.node_xml(nodes).agg(F.count(F.lit(1)).alias("n_xml")),
+        FMT.way_wkt(ways, all_nodes).agg(F.count(F.lit(1)).alias("n_way_wkt")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.crossJoin(p)
+    return out
+
+
+def _q_o9_check_corrupt(spark, sf):
+    """Checker validation: deterministically corrupt the store four ways
+    and report the per-invariant violation counts.  The oracle computes
+    each expected count independently from the base tables, so this row
+    proves the checker *counts* — o9_check_store's all-zeros row only
+    proves it stays quiet on a clean store."""
+    from geodesk_gol_spark.operators.check import check_store
+
+    c = ctx(spark, sf)
+    st = c["store"]
+    node = (F.col("ftype") == 0) & ~F.col("is_ghost")
+    way = (F.col("ftype") == 1) & ~F.col("is_ghost")
+    # C1: node homes id%211 -> nonexistent tile (also falls outside every
+    # tile rect, so the same rows count under bbox_outside_tile)
+    st1 = st.withColumn(
+        "tile_id",
+        F.when(node & (F.col("id") % 211 == 0),
+               F.lit(999_999_999).cast("int")).otherwise(F.col("tile_id")),
+    )
+    # C2: way home copies id%307 -> hilbert key outside the curve
+    st2 = st1.withColumn(
+        "hilbert",
+        F.when(way & (F.col("id") % 307 == 0),
+               F.lit(-1).cast("long")).otherwise(F.col("hilbert")),
+    )
+    # C3: drop way home copies id%503 (ghosts of those ways are orphaned)
+    st3 = st2.filter(
+        ~(way & (F.col("id") % 503 == 0) & (F.col("id") % 307 != 0))
+    )
+    # C4: duplicate node home copies id%401 (disjoint from C1)
+    dups = st2.filter(node & (F.col("id") % 401 == 0)
+                      & (F.col("id") % 211 != 0))
+    return check_store(st3.unionByName(dups), c["catalog"],
+                       c["exports"], c["stubs"])
+
+
 def _q_p1_goql_area_leisure(spark, sf):
     """GOQL area query over an accept-all rule key: a[leisure=park]
     (reference: `gol query <gol> "a[leisure=park]"`, rule table
@@ -656,11 +764,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j8_foreign_refs": _q_j8_foreign_refs,
         "o4_tile_order": _q_o4_tile_order,
         "o9_check_store": _q_o9_check_store,
+        "o9_check_corrupt": _q_o9_check_corrupt,
+        "s5_archive_manifest": _q_s5_archive_manifest,
+        "p4_key_projection": _q_p4_key_projection,
+        "a7_count_formats": _q_a7_count_formats,
         "p1_goql_highway_names": _q_p1_goql_highway_names,
         "p1_goql_union": _q_p1_goql_union,
         "p1_goql_valuelist_regex": _q_p1_goql_valuelist_regex,
         "p1_goql_area_leisure": _q_p1_goql_area_leisure,
         "p1_goql_area_natural": _q_p1_goql_area_natural,
+        "p1_goql_quoted_key": _q_p1_goql_quoted_key,
+        "p1_goql_negation": _q_p1_goql_negation,
         "p2_bbox_query": _q_p2_bbox_query,
         "p3_polygon_query": _q_p3_polygon_query,
         "p3_polygon_ways": _q_p3_polygon_ways,
@@ -773,6 +887,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.id * 4 AS typed_id
             FROM nodes n
             WHERE n.highway IS NULL AND n.name IS NULL AND n.amenity IS NULL
+              AND n.addr_street IS NULL
               AND NOT EXISTS (
                 SELECT 1 FROM ({sqlgen.way_members_select()}) wm
                 WHERE wm.node_id = n.id)
@@ -780,6 +895,84 @@ def oracle_sql() -> dict[str, str]:
         "j7_exports": _ORACLE_J7,
         "j8_foreign_refs": _ORACLE_J8,
         "o4_tile_order": _ORACLE_O4,
+        "s5_archive_manifest": _prefix(cell_tile=True, whomes=True,
+                                       rhomes=True) + f""",
+            ghosts AS (
+              SELECT DISTINCT wm.way_id * 4 + 1 AS typed_id,
+                     ct.tile_id AS tile_id
+              FROM ({sqlgen.way_members_select()}) wm
+              JOIN nodes n ON n.id = wm.node_id
+              JOIN cell_tile ct ON ct.c = n.cell_col AND ct.r = n.cell_row
+              WHERE NOT EXISTS (SELECT 1 FROM w_homes h
+                                WHERE h.id = wm.way_id
+                                  AND h.tile_id = ct.tile_id)
+            ),
+            ft AS (
+              SELECT ct.tile_id AS tile_id, FALSE AS is_ghost
+              FROM nodes n
+              JOIN cell_tile ct ON ct.c = n.cell_col AND ct.r = n.cell_row
+              UNION ALL SELECT tile_id, FALSE FROM w_homes
+              UNION ALL SELECT tile_id, TRUE FROM ghosts
+              UNION ALL SELECT tile_id, FALSE FROM r_homes
+            )
+            SELECT tile_id, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN is_ghost THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_ghosts
+            FROM ft GROUP BY tile_id
+        """,
+        "p4_key_projection": f"""
+            SELECT id, {sqlgen.coord_str_expr('lon100nd', 7)} AS lon,
+                   {sqlgen.coord_str_expr('lat100nd', 7)} AS lat,
+                   highway, name, amenity
+            FROM ({sqlgen.nodes_select()}) WHERE amenity IS NOT NULL
+        """,
+        "a7_count_formats": f"""
+            WITH nodes AS ({sqlgen.nodes_select()}),
+                 ways AS ({sqlgen.ways_select()}),
+                 an AS (SELECT count(*) AS n FROM nodes
+                        WHERE amenity IS NOT NULL)
+            SELECT CAST(n AS BIGINT) AS n_count, CAST(n AS BIGINT) AS n_geojson,
+                   CAST(n AS BIGINT) AS n_wkt, CAST(n AS BIGINT) AS n_list,
+                   CAST(n AS BIGINT) AS n_xml,
+                   CAST((SELECT count(*) FROM ways) AS BIGINT) AS n_way_wkt
+            FROM an
+        """,
+        "o9_check_corrupt": _prefix(cell_tile=True, whomes=True) + f""",
+            ghostable AS (
+              SELECT DISTINCT wm.way_id AS way_id
+              FROM ({sqlgen.way_members_select()}) wm
+              JOIN nodes n ON n.id = wm.node_id
+              JOIN cell_tile ct ON ct.c = n.cell_col AND ct.r = n.cell_row
+              WHERE NOT EXISTS (SELECT 1 FROM w_homes h
+                                WHERE h.id = wm.way_id
+                                  AND h.tile_id = ct.tile_id)
+            )
+            SELECT 'unknown_tile' AS invariant,
+                   CAST(CASE WHEN EXISTS (SELECT 1 FROM nodes
+                                          WHERE id % 211 = 0)
+                        THEN 1 ELSE 0 END AS BIGINT) AS n_bad
+            UNION ALL
+            SELECT 'bbox_outside_tile',
+                   CAST((SELECT count(*) FROM nodes WHERE id % 211 = 0)
+                        AS BIGINT)
+            UNION ALL
+            SELECT 'duplicate_copy',
+                   CAST((SELECT count(*) FROM nodes
+                         WHERE id % 401 = 0 AND id % 211 <> 0) AS BIGINT)
+            UNION ALL
+            SELECT 'ghost_without_home',
+                   CAST((SELECT count(*) FROM ghostable
+                         WHERE way_id % 503 = 0 AND way_id % 307 <> 0)
+                        AS BIGINT)
+            UNION ALL
+            SELECT 'hilbert_range',
+                   CAST((SELECT count(*) FROM w_homes WHERE id % 307 = 0)
+                        AS BIGINT)
+            UNION ALL
+            SELECT 'tex_not_dense', CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT 'stub_unresolved', CAST(0 AS BIGINT)
+        """,
         "o9_check_store": "SELECT 'unknown_tile' AS invariant, CAST(0 AS BIGINT) AS n_bad UNION ALL SELECT 'bbox_outside_tile' AS invariant, CAST(0 AS BIGINT) AS n_bad UNION ALL SELECT 'duplicate_copy' AS invariant, CAST(0 AS BIGINT) AS n_bad UNION ALL SELECT 'ghost_without_home' AS invariant, CAST(0 AS BIGINT) AS n_bad UNION ALL SELECT 'hilbert_range' AS invariant, CAST(0 AS BIGINT) AS n_bad UNION ALL SELECT 'tex_not_dense' AS invariant, CAST(0 AS BIGINT) AS n_bad UNION ALL SELECT 'stub_unresolved' AS invariant, CAST(0 AS BIGINT) AS n_bad",
         "p1_goql_highway_names": f"""
             SELECT id * 4 + 1 AS typed_id FROM ({sqlgen.ways_select()})
@@ -806,6 +999,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT id * 4 + 1 AS typed_id FROM ({sqlgen.ways_select()})
             WHERE closed AND {sqlgen.way_area_sql()}
               AND natural_val IS NOT NULL
+        """,
+        "p1_goql_quoted_key": f"""
+            SELECT id * 4 AS typed_id FROM ({sqlgen.nodes_select()})
+            WHERE addr_street LIKE 'Main%'
+        """,
+        "p1_goql_negation": f"""
+            SELECT id * 4 AS typed_id FROM ({sqlgen.nodes_select()})
+            WHERE amenity IS NOT NULL
+              AND (addr_street IS NULL OR addr_street <> 'Main Street')
         """,
         "p2_bbox_query": _ORACLE_P2,
         "s8_osc_roundtrip": _prefix(cell_tile=True) + f"""
@@ -1050,6 +1252,8 @@ strs AS (
   UNION ALL SELECT name FROM nodes WHERE name IS NOT NULL
   UNION ALL SELECT 'amenity' FROM nodes WHERE amenity IS NOT NULL
   UNION ALL SELECT amenity FROM nodes WHERE amenity IS NOT NULL
+  UNION ALL SELECT 'addr:street' FROM nodes WHERE addr_street IS NOT NULL
+  UNION ALL SELECT addr_street FROM nodes WHERE addr_street IS NOT NULL
   UNION ALL SELECT 'highway' FROM ways WHERE highway IS NOT NULL
   UNION ALL SELECT highway FROM ways WHERE highway IS NOT NULL
   UNION ALL SELECT 'name' FROM ways WHERE name IS NOT NULL

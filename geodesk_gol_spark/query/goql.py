@@ -14,6 +14,7 @@ Grammar:
     clause   := '[' '!' key ']'                    -- key absent
               | '[' key ']'                        -- key present
               | '[' key op value ']'
+    key      := bare ([A-Za-z0-9_:]+) | "'...'" | '"..."' (quoted)
     op       := '=' | '!=' | '~' | '!~' | '>' | '>=' | '<' | '<='
     value    := "'...'" | '"..."' | bare (with '*' wildcards for =/!=);
                 '='/'!=' accept a comma list (v1,v2) = any-of / none-of;
@@ -33,7 +34,7 @@ from pyspark.sql import functions as F
 
 _SEL_RE = re.compile(r"^\s*(\*|[nwar]+)")
 _CLAUSE_RE = re.compile(
-    r"\[\s*(!?)\s*([A-Za-z0-9_:]+)"
+    r"\[\s*(!?)\s*('[^']*'|\"[^\"]*\"|[A-Za-z0-9_:]+)"
     r"\s*(?:(!=|!~|>=|<=|=|~|>|<)\s*('[^']*'|\"[^\"]*\"|[^\]]*?))?\s*\]"
 )
 
@@ -158,6 +159,7 @@ def _selector_col(sel: str) -> Column:
     matched_len = 0
     for cm in _CLAUSE_RE.finditer(rest):
         bang, key, op, raw = cm.groups()
+        key, _ = _unquote(key)  # quoted keys: ["addr:street"]
         tag = F.col("tags").getItem(key)
         if bang:
             if op:

@@ -95,6 +95,7 @@ def _node_payload_cols(df: DataFrame) -> DataFrame:
         f"{sqlgen.NODE_HIGHWAY} AS highway",
         f"{sqlgen.NODE_NAME} AS name",
         f"{sqlgen.NODE_AMENITY} AS amenity",
+        f"{sqlgen.NODE_ADDR} AS addr_street",
         f"{sqlgen.H1} AS h1",
         "l_orderkey AS orderkey",
         "l_linenumber AS linenumber",
@@ -119,7 +120,8 @@ def synth_docs(
     customer, nation, region = base["customer"], base["nation"], base["region"]
 
     nodes = _node_payload_cols(li).withColumn(
-        "tags", _tags_expr("highway", "name", "amenity")
+        "tags",
+        _tags_expr("highway", "name", "amenity", ("addr:street", "addr_street")),
     )
 
     # --- order docs: text span + (media?, node)* + way span -----------------

@@ -157,6 +157,11 @@ NODE_AMENITY = (
     f"CASE WHEN {H3} % 11 = 0 THEN 'cafe' WHEN {H3} % 11 = 1 THEN 'parking' "
     f"ELSE NULL END"
 )
+# colon-carrying key, exercised by quoted-key GOQL (["addr:street"])
+NODE_ADDR = (
+    f"CASE WHEN {H2} % 7 = 3 THEN 'Main Street' "
+    f"WHEN {H2} % 7 = 4 THEN 'Elm Road' ELSE NULL END"
+)
 
 
 def nodes_select(lineitem: str = "lineitem") -> str:
@@ -176,6 +181,7 @@ def nodes_select(lineitem: str = "lineitem") -> str:
   {NODE_HIGHWAY} AS highway,
   {NODE_NAME} AS name,
   {NODE_AMENITY} AS amenity,
+  {NODE_ADDR} AS addr_street,
   l_orderkey AS orderkey,
   l_linenumber AS linenumber
 FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM {lineitem})"""

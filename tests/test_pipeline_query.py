@@ -107,6 +107,27 @@ def test_goql_negative_clause_semantics(built):
     assert n_eq + n_ne == n_all
 
 
+def test_goql_quoted_key(built):
+    """["addr:street"] parses; quoted and bare colon-keys are the same
+    key; quoted keys compose with values and negation."""
+    _, store = built
+    homes = store.filter(~F.col("is_ghost") & (F.col("ftype") == 0)).dropDuplicates(
+        ["typed_id"]
+    )
+    n_quoted = homes.filter(goql_to_column('n["addr:street"]')).count()
+    n_bare = homes.filter(goql_to_column("n[addr:street]")).count()
+    assert n_quoted == n_bare > 0
+    n_main = homes.filter(
+        goql_to_column('n["addr:street"=\'Main Street\']')
+    ).count()
+    n_not_main = homes.filter(
+        goql_to_column('n["addr:street"!=\'Main Street\']')
+    ).count()
+    assert 0 < n_main < n_quoted
+    # negation admits absent keys too
+    assert n_main + n_not_main == homes.count()
+
+
 def test_goql_errors():
     for bad in ["", "x[foo]", "n[name>abc]", "n[!k=v]", "n[amenity=]"]:
         with pytest.raises(GoqlError):
