@@ -69,6 +69,17 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicate: int = 1,
     counts: dict[str, int] = {}
 
     no_ckpt = os.environ.get("SPARK_GRAFT_NO_CKPT", "0") == "1"
+    sizes: dict[str, int] = {}
+
+    def _du(path: str) -> int:
+        tot = 0
+        for root, _, files in os.walk(path):
+            for fn in files:
+                try:
+                    tot += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass
+        return tot
 
     def ckpt(name: str, df):
         if no_ckpt:
@@ -78,9 +89,12 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicate: int = 1,
             # tmpfs (memory-bus) traffic — measuring the host's one
             # memory bus, not the engine.  A cluster writes checkpoints
             # to distributed storage whose bandwidth scales with N.
-            df.persist()
+            df = df.persist()
+            df.count()  # materialize NOW: the stage's cost belongs to
+            # the stage, not to whatever action first touches the cache
             return df
         df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+        sizes[name] = _du(os.path.join(out_dir, name))
         return spark.read.parquet(os.path.join(out_dir, name))
 
     t0 = time.time()
@@ -152,10 +166,15 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicate: int = 1,
     ))
     t["q_compile"] = time.time() - t0
     log(f"compile {t['q_compile']:.1f}s")
-    spark.catalog.clearCache()  # drop build-time persists before queries
+    if not no_ckpt:
+        # drop build-time persists before queries; in no-ckpt mode the
+        # persisted frames ARE the checkpoints — clearing them would make
+        # store_write re-run the whole build
+        spark.catalog.clearCache()
 
     t0 = time.time()
     write_store(rows, os.path.join(out_dir, "store"))
+    sizes["store"] = _du(os.path.join(out_dir, "store"))
     t["q_store_write"] = time.time() - t0
     log(f"store {t['q_store_write']:.1f}s")
 
@@ -170,6 +189,7 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicate: int = 1,
     log(f"goql {t['q_goql_bbox']:.1f}s")
     if build_only:
         t["_counts"] = counts  # type: ignore[assignment]
+        t["_ckpt_bytes"] = sizes  # type: ignore[assignment]
         return t
 
     t0 = time.time()
@@ -181,6 +201,7 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicate: int = 1,
     t["q_knn"] = time.time() - t0
 
     t["_counts"] = counts  # type: ignore[assignment]
+    t["_ckpt_bytes"] = sizes  # type: ignore[assignment]
     return t
 
 
@@ -226,19 +247,29 @@ def one_run(master: str, sf_dir: str, shuffle_partitions: int, replicate: int = 
                       shuffle_partitions=shuffle_partitions,
                       extra={
                           "spark.local.dir": base,
+                          # checkpoint/store bytes: trading bus bytes for
+                          # CPU (zstd) helps single-socket scaling — CPU
+                          # scales with pinned cores, the memory bus does
+                          # not
                           "spark.sql.parquet.compression.codec":
                               os.environ.get("SPARK_GRAFT_CODEC", "snappy"),
+                          # shuffle/spill block codec (lz4 default)
+                          "spark.io.compression.codec":
+                              os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
                       })
     try:
         t_all0 = time.time()
         t = run_pipeline(spark, sf_dir, out_dir, replicate, build_only,
                          docs_path=docs_path)
         counts = t.pop("_counts")
+        ckpt_bytes = t.pop("_ckpt_bytes", {})
         if not build_only:
             t.update(run_ml(spark, sf_dir))
         total = time.time() - t_all0
         # the north metric times the ENGINE (parse→tile→join→store→query);
-        # input read/synthesis is reported but not part of throughput
+        # input read/synthesis is reported but not part of throughput.
+        # BOTH definitions are reported (ADVICE r02): entries before
+        # 2026-08-17 03:35 used total-based throughput on disk.
         engine_sec = total - t.get("q_synth_docs", 0.0)
         n_features = counts["feature_tiles"]
         return {
@@ -246,7 +277,9 @@ def one_run(master: str, sf_dir: str, shuffle_partitions: int, replicate: int = 
             "engine_sec": round(engine_sec, 2),
             "queries": {k: round(v, 2) for k, v in t.items()},
             "counts": counts,
+            "ckpt_bytes": ckpt_bytes,
             "features_per_sec": round(n_features / max(engine_sec, 1e-9), 1),
+            "features_per_sec_total": round(n_features / max(total, 1e-9), 1),
         }
     finally:
         spark.stop()
@@ -438,9 +471,13 @@ def main() -> None:
                 f"N-vs-4N-executor model; min of {tries} interleaved "
                 f"tries/level\n"
                 f"- local[{lo}]: {thr_lo} features-tiled+joined/sec "
-                f"(engine {runs[lo]['engine_sec']}s)\n"
+                f"(engine {runs[lo]['engine_sec']}s; total-based "
+                f"{runs[lo].get('features_per_sec_total', '?')} f/s — "
+                f"throughput here is ENGINE-based, input synth excluded; "
+                f"entries before 2026-08-17 03:35 were total-based)\n"
                 f"- local[{cpus}]: {thr_hi} features-tiled+joined/sec "
-                f"(engine {runs[cpus]['engine_sec']}s)\n"
+                f"(engine {runs[cpus]['engine_sec']}s; total-based "
+                f"{runs[cpus].get('features_per_sec_total', '?')} f/s)\n"
                 f"- **scaling efficiency ({lo}→{cpus} threads): "
                 f"{report['scaling_efficiency']}**\n"
                 f"- per-stage sec (local[{lo}] → local[{cpus}]): "

@@ -38,17 +38,6 @@ from ..config import BuildSettings, tile_id as make_tile_id
 _LADDER = (12, 9, 6, 3)  # root (zoom 0) handled separately
 
 
-def _shrink(df: DataFrame) -> DataFrame:
-    """Roll one pyramid step up (÷8 per axis, 64 children → 1 parent)."""
-    return (
-        df.groupBy(
-            F.expr("CAST(floor(c / 8.0) AS INT)").alias("c"),
-            F.expr("CAST(floor(r / 8.0) AS INT)").alias("r"),
-        )
-        .agg(F.sum("cnt").alias("cnt"))
-    )
-
-
 @dataclass
 class TileCatalog:
     """Driver-side pyramid: ≤ max_tiles rows, broadcast to every join."""
@@ -93,26 +82,30 @@ def build_tile_catalog(nodes: DataFrame, settings: BuildSettings) -> TileCatalog
     Distributed aggregation; only bounded survivor candidates hit the
     driver.  Deterministic for a given input (pure integer arithmetic).
     """
-    # ONE distributed job: z12 survivor candidates (bounded by
-    # total_nodes/density, then capped at max_tiles) + the FULL
-    # aggregated z9/z6/z3 grids (grid-bounded: ≤512² + 64² + 8² rows).
-    # The survivor/residual ladder — which level each count dissolves
-    # into — is pure arithmetic on those bounded frames, done driver-side
-    # in dicts.  (Was: 4 sequential filter→toPandas jobs + a shrink
-    # chain; ~8 driver round-trips of fixed latency per build.)
+    # ONE distributed job AND one shuffle: every node contributes its
+    # cell at all four ladder zooms (explode immediately absorbed by the
+    # map-side partial aggregation), then a single groupBy(zoom, c, r)
+    # count.  Collected rows stay bounded: z12 is filtered to survivor
+    # candidates (≤ total_nodes/density, then capped at max_tiles); the
+    # full z9/z6/z3 total grids are ≤512² + 64² + 8² rows.  The
+    # survivor/residual ladder — which level each count dissolves into —
+    # is pure arithmetic on those bounded frames, done driver-side in
+    # dicts.  (Was: a 12→9→6→3 shrink chain — 4 chained shuffle stages
+    # of tiny frames, each paying a fixed stage barrier; the barriers,
+    # not the data, dominated this stage's 4N profile.)
     d = settings.min_tile_density
-    cells12 = nodes.groupBy(
-        F.col("cell_col").alias("c"), F.col("cell_row").alias("r")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    lvl = cells12.filter(F.col("cnt") >= d).select(
-        F.lit(12).alias("zoom"), "c", "r", "cnt"
+    zoom_structs = ", ".join(
+        f"struct({z} AS zoom, "
+        f"CAST(shiftright(cell_col, {12 - z}) AS INT) AS c, "
+        f"CAST(shiftright(cell_row, {12 - z}) AS INT) AS r)"
+        for z in _LADDER
     )
-    cur = cells12
-    for zoom in _LADDER[1:]:
-        cur = _shrink(cur)  # TOTAL counts (all descendants) at this zoom
-        lvl = lvl.unionByName(
-            cur.select(F.lit(zoom).alias("zoom"), "c", "r", "cnt")
-        )
+    lvl = (
+        nodes.selectExpr(f"inline(array({zoom_structs}))")
+        .groupBy("zoom", "c", "r")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter((F.col("zoom") != 12) | (F.col("cnt") >= d))
+    )
     pdf = lvl.toPandas()
 
     frames = []
