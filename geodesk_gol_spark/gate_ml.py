@@ -476,6 +476,174 @@ def sql_ann_lsh_topk(t: str, d: str, k: int = 5, n_q: int = 4,
     """
 
 
+def _sq_lit(vec: list) -> str:
+    """||v||² as ONE round-trip literal: the left-to-right IEEE fold is
+    done in Python (same op order as the oracle's SQL fold over the
+    same doubles → bit-identical), then inlined — 1 parse node instead
+    of 128."""
+    acc = 0.0
+    for v in vec:
+        acc = acc + v * v
+    return f"CAST('{acc!r}' AS DOUBLE)"
+
+
+def _ivf_scores(e: str, d: str, n_cent: int, base: int,
+                cents: list | None) -> list[str]:
+    """score_j = ||c_j||² − 2·e·c_j per centroid (monotone in L2
+    distance; the common ||e||² term cancels inside argmin)."""
+    out = []
+    for j in range(n_cent):
+        if cents is not None:
+            dot = _dot_lit(e, cents[j], d)
+            cc = _sq_lit(cents[j])
+        else:
+            dot = _dot(e, f"c{j}.embedding", d)
+            cc = _dot(f"c{j}.embedding", f"c{j}.embedding", d)
+        out.append(f"({cc} - 2 * {dot})")
+    return out
+
+
+def _ivf_cent_rels(t: str, n_cent: int, base: int) -> str:
+    return ", ".join(
+        f"(SELECT embedding FROM {t} WHERE vec_id = {base + j}) c{j}"
+        for j in range(n_cent)
+    )
+
+
+def _ivf_scores_cte(t: str, d: str, n_cent: int, base: int,
+                    cents: list | None) -> str:
+    """``ivf_scores`` CTE body: (vec_id, s0..s7) — every 64-term score
+    expression appears exactly ONCE in the whole query text; all
+    downstream argmin/rank logic references the named columns
+    (duplicating the chains into CASE arms / UNION branches ballooned
+    the SQL to 180 KB and stalled Catalyst)."""
+    scores = _ivf_scores("e.embedding", d, n_cent, base, cents)
+    rels = "" if cents is not None else ", " + _ivf_cent_rels(t, n_cent, base)
+    score_cols = ", ".join(f"{s} AS s{j}" for j, s in enumerate(scores))
+    return f"SELECT e.vec_id AS vec_id, {score_cols} FROM {t} e{rels}"
+
+
+def sql_ann_ivf_assign(t: str, d: str, n_cent: int = 8, base: int = 200,
+                       cents: list | None = None) -> str:
+    """IVF coarse quantization: every vector assigned to its nearest of
+    ``n_cent`` designated centroid vectors (vec_id base..base+n-1 — the
+    'trained' codebook; training itself is out of scope, determinism
+    in).  At scale this is the inverted-list build: a narrow map (the
+    centroid table is literals/broadcast), then list membership is a
+    partitioning key — candidate generation for a query touches only
+    nprobe lists, never the corpus.  Argmin via LEAST + first-match
+    CASE: both engines compute identical doubles, so ties break
+    identically (lowest centroid id)."""
+    names = ", ".join(f"s{j}" for j in range(n_cent))
+    case = " ".join(f"WHEN s{j} = best THEN {j}" for j in range(n_cent))
+    return f"""
+    SELECT vec_id, CAST(CASE {case} END AS INT) AS centroid
+    FROM (
+      SELECT vec_id, {names}, LEAST({names}) AS best
+      FROM ({_ivf_scores_cte(t, d, n_cent, base, cents)})
+    )
+    """
+
+
+def sql_ann_ivf_topk(t: str, d: str, k: int = 5, n_q: int = 4,
+                     n_cent: int = 8, base: int = 200, nprobe: int = 2,
+                     cents: list | None = None) -> str:
+    """ANN top-k THROUGH the IVF lists: probe the ``nprobe`` nearest
+    centroids per query, exact cosine re-rank inside the probed lists,
+    brute fallback only for queries whose probes hold < k vectors (same
+    guarantee shape as ann_lsh_topk).  The shared ``ivf_scores`` CTE
+    feeds BOTH the corpus assignment (argmin) and the query-side
+    centroid ranking (unpivot over column refs)."""
+    unpiv_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS centroid, s{j} AS s FROM ivf_scores"
+        for j in range(n_cent)
+    )
+    dot = _dot("e.embedding", "q.embedding", d)
+    nb = _dot("e.embedding", "e.embedding", d)
+    # assignment here is rank over the unpivoted scores, NOT the
+    # LEAST+CASE argmin sql_ann_ivf_assign uses: a join key computed by
+    # a 1000-op CASE sends Catalyst's constraint propagation into an
+    # exponential blowup (driver OOM); the unpivot's key is a literal
+    # column.  Ties break identically (ORDER BY s, centroid ==
+    # first-match over equal doubles).  Queries are corpus vectors, so
+    # the SAME window serves corpus assignment (rank 1) and query
+    # probing (rank <= nprobe).
+    return f"""
+    WITH ivf_scores AS ({_ivf_scores_cte(t, d, n_cent, base, cents)}),
+    cent_rank AS (
+      SELECT vec_id, centroid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s, centroid)
+               AS rn
+      FROM ({unpiv_rows})
+    ),
+    assign AS (SELECT vec_id, centroid FROM cent_rank WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS q_id, centroid FROM cent_rank
+      WHERE rn <= {nprobe} AND vec_id < {n_q}
+    ),
+    q AS (SELECT vec_id AS q_id, embedding FROM {t} WHERE vec_id < {n_q}),
+    cand AS (
+      SELECT p.q_id AS q_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.centroid = p.centroid
+    ),
+    scored AS (
+      SELECT c.q_id AS q_id, c.neighbor_id AS neighbor_id,
+             {dot} / sqrt({nb}) AS score
+      FROM cand c
+      JOIN {t} e ON e.vec_id = c.neighbor_id
+      JOIN q ON q.q_id = c.q_id
+    ),
+    ranked AS (
+      SELECT q_id, neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS INT)
+               AS rank,
+             count(*) OVER (PARTITION BY q_id) AS ncand
+      FROM scored
+    ),
+    sparse AS (
+      SELECT q.q_id AS q_id, q.embedding AS embedding
+      FROM q LEFT JOIN (SELECT DISTINCT q_id FROM ranked
+                        WHERE ncand >= {k}) ok
+        ON ok.q_id = q.q_id
+      WHERE ok.q_id IS NULL
+    ),
+    fb AS (
+      SELECT q_id, neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS INT)
+               AS rank
+      FROM (
+        SELECT s.q_id AS q_id, e.vec_id AS neighbor_id,
+               {_dot("e.embedding", "s.embedding", d)} / sqrt({nb}) AS score
+        FROM {t} e, sparse s
+      )
+    )
+    SELECT q_id, neighbor_id, rank FROM ranked
+    WHERE rank <= {k} AND ncand >= {k}
+    UNION ALL
+    SELECT q_id, neighbor_id, rank FROM fb WHERE rank <= {k}
+    """
+
+
+def sql_text_tokens_bpe(t: str, d: str) -> str:
+    """BPE-ish token counting: a pre-tokenizer regex (letter runs,
+    single digits, single punctuation marks — the GPT-2 pre-tokenizer
+    flavor) next to the whitespace count.  Pattern stays in the
+    Java-regex ∩ RE2 common subset (no lookarounds)."""
+    pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+    ws = split_ws("text", d)
+    if d == "spark":
+        n_bpe = f"regexp_count(text, '{pat}')"
+    else:
+        n_bpe = f"len(regexp_extract_all(text, '{pat}'))"
+    return f"""
+    SELECT doc_id, CAST({list_len(ws, d)} AS BIGINT) AS n_tokens_ws,
+           CAST({n_bpe} AS BIGINT) AS n_tokens_bpe
+    FROM {t}
+    """
+
+
 def sql_media_decode(t: str, d: str) -> str:
     """Oracle for the decode stub: dims derived from the md5 hex of the ref."""
     return f"""
@@ -565,13 +733,15 @@ def _plane_vectors(spark: SparkSession, sf_dir: str, n_planes: int = 8,
     return _PLANES_CACHE[key]
 
 
-def _sql_query_planes(template, table: str):
-    """Like _sql_query but collects the LSH plane vectors first and
-    passes them as the template's ``planes`` literal argument."""
+def _sql_query_planes(template, table: str, base: int = 100,
+                      kw: str = "planes"):
+    """Like _sql_query but collects 8 designated vectors (LSH planes at
+    base=100, IVF centroids at base=200) first and passes them as the
+    template's literal-inline argument."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        planes = _plane_vectors(spark, sf_dir)
+        vecs = _plane_vectors(spark, sf_dir, 8, base)
         v = _view(spark, sf_dir, table)
-        return spark.sql(template(v, "spark", planes=planes))
+        return spark.sql(template(v, "spark", **{kw: vecs}))
 
     return run
 
@@ -634,6 +804,7 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _sql_query(sql_ann_cosine_topk, "embeddings"),
         "ann_lsh_buckets": _sql_query_planes(sql_ann_lsh_buckets, "embeddings"),
         "ann_lsh_topk": _sql_query_planes(sql_ann_lsh_topk, "embeddings"),
+        "text_tokens_bpe": _sql_query(sql_text_tokens_bpe, "documents"),
         "media_decode_stub": _q_media_decode,
         "s8_change_merge": lambda spark, sf: spark.sql(
             sql_change_merge(_view(spark, sf, "events"), _view(spark, sf, "lineitem"),
@@ -642,6 +813,13 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_agg": lambda spark, sf: spark.sql(
             sql_window_agg(_view(spark, sf, "events"), "spark")
         ),
+        # the two slowest gate queries run LAST: if a driver time budget
+        # truncates the sweep (round-2 failure mode), it drops these —
+        # never previously-green rows
+        "ann_ivf_assign": _sql_query_planes(sql_ann_ivf_assign, "embeddings",
+                                            base=200, kw="cents"),
+        "ann_ivf_topk": _sql_query_planes(sql_ann_ivf_topk, "embeddings",
+                                          base=200, kw="cents"),
     }
 
 
@@ -668,6 +846,9 @@ def ml_oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": sql_ann_cosine_topk("embeddings", "duck"),
         "ann_lsh_buckets": sql_ann_lsh_buckets("embeddings", "duck"),
         "ann_lsh_topk": sql_ann_lsh_topk("embeddings", "duck"),
+        "ann_ivf_assign": sql_ann_ivf_assign("embeddings", "duck"),
+        "ann_ivf_topk": sql_ann_ivf_topk("embeddings", "duck"),
+        "text_tokens_bpe": sql_text_tokens_bpe("documents", "duck"),
         "media_decode_stub": sql_media_decode(media_src, "duck"),
         "s8_change_merge": sql_change_merge("events", "lineitem", "duck"),
         "streaming_window_agg": sql_window_agg("events", "duck"),
