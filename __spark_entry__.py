@@ -340,6 +340,35 @@ def _q_p1_goql_negation(spark, sf):
     )
 
 
+def _q_o_info_summary(spark, sf):
+    """gol info analogue: one summary row (feature counts, ghost copies,
+    populated tiles, world bbox)."""
+    from geodesk_gol_spark.operators.info import store_info
+
+    c = ctx(spark, sf)
+    return store_info(c["store"])
+
+
+def _q_p_get_by_id(spark, sf):
+    """gol get analogue: fetch home copies by n<id>/w<id>/r<id> specs
+    (the spec list derives from the 2 smallest node/way ids + smallest
+    relation id — a bounded O(1) driver collect)."""
+    from geodesk_gol_spark.operators.info import get_features
+
+    c = ctx(spark, sf)
+    specs = []
+    for letter, frame in (("n", c["feats"]["nodes"]),
+                          ("w", c["feats"]["ways"])):
+        ids = [r["id"] for r in
+               frame.select("id").orderBy("id").limit(2).collect()]
+        specs += [f"{letter}{i}" for i in ids]
+    rid = c["feats"]["relations"].select("id").orderBy("id").limit(1).collect()
+    specs += [f"r{r['id']}" for r in rid]
+    return get_features(c["store"], specs).select(
+        "typed_id", "tile_id", F.col("tags")["highway"].alias("hw")
+    )
+
+
 def _q_s5_archive_manifest(spark, sf):
     """S5 manifest counts: per-tile row/ghost counts exactly as
     save_tiles records them (the checksum itself is xxhash64-based and
@@ -768,6 +797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_archive_manifest": _q_s5_archive_manifest,
         "p4_key_projection": _q_p4_key_projection,
         "a7_count_formats": _q_a7_count_formats,
+        "o_info_summary": _q_o_info_summary,
+        "p_get_by_id": _q_p_get_by_id,
         "p1_goql_highway_names": _q_p1_goql_highway_names,
         "p1_goql_union": _q_p1_goql_union,
         "p1_goql_valuelist_regex": _q_p1_goql_valuelist_regex,
@@ -895,6 +926,57 @@ def oracle_sql() -> dict[str, str]:
         "j7_exports": _ORACLE_J7,
         "j8_foreign_refs": _ORACLE_J8,
         "o4_tile_order": _ORACLE_O4,
+        "o_info_summary": _prefix(cell_tile=True, whomes=True,
+                                  rhomes=True) + f""",
+            ghosts AS (
+              SELECT DISTINCT wm.way_id AS id, ct.tile_id AS tile_id
+              FROM ({sqlgen.way_members_select()}) wm
+              JOIN nodes n ON n.id = wm.node_id
+              JOIN cell_tile ct ON ct.c = n.cell_col AND ct.r = n.cell_row
+              WHERE NOT EXISTS (SELECT 1 FROM w_homes h
+                                WHERE h.id = wm.way_id
+                                  AND h.tile_id = ct.tile_id)
+            ),
+            all_tiles AS (
+              SELECT ct.tile_id FROM nodes n
+              JOIN cell_tile ct ON ct.c = n.cell_col AND ct.r = n.cell_row
+              UNION SELECT tile_id FROM w_homes
+              UNION SELECT tile_id FROM ghosts
+              UNION SELECT tile_id FROM r_homes
+            )
+            SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+                   CAST((SELECT count(DISTINCT id) FROM w_homes) AS BIGINT)
+                     AS n_ways,
+                   CAST((SELECT count(DISTINCT id) FROM r_homes) AS BIGINT)
+                     AS n_relations,
+                   CAST((SELECT count(*) FROM ghosts) AS BIGINT)
+                     AS n_ghost_copies,
+                   CAST((SELECT count(*) FROM all_tiles) AS BIGINT)
+                     AS n_tiles,
+                   (SELECT min(x) FROM nodes) AS minx,
+                   (SELECT min(y) FROM nodes) AS miny,
+                   (SELECT max(x) FROM nodes) AS maxx,
+                   (SELECT max(y) FROM nodes) AS maxy
+        """,
+        "p_get_by_id": _prefix(cell_tile=True, whomes=True,
+                               rhomes=True) + f""",
+            ways AS ({sqlgen.ways_select()}),
+            n2 AS (SELECT id, cell_col, cell_row, highway FROM nodes
+                   ORDER BY id LIMIT 2),
+            w2 AS (SELECT id, highway FROM ways ORDER BY id LIMIT 2),
+            r1 AS (SELECT id FROM ({sqlgen.relations_select()})
+                   ORDER BY id LIMIT 1)
+            SELECT n2.id * 4 AS typed_id, ct.tile_id AS tile_id,
+                   n2.highway AS hw
+            FROM n2 JOIN cell_tile ct
+              ON ct.c = n2.cell_col AND ct.r = n2.cell_row
+            UNION ALL
+            SELECT w2.id * 4 + 1, h.tile_id, w2.highway
+            FROM w2 JOIN w_homes h ON h.id = w2.id
+            UNION ALL
+            SELECT r1.id * 4 + 2, h.tile_id, NULL
+            FROM r1 JOIN r_homes h ON h.id = r1.id
+        """,
         "s5_archive_manifest": _prefix(cell_tile=True, whomes=True,
                                        rhomes=True) + f""",
             ghosts AS (
