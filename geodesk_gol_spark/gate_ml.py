@@ -644,6 +644,95 @@ def sql_text_tokens_bpe(t: str, d: str) -> str:
     """
 
 
+def sql_dedup_components_oracle(t: str) -> str:
+    """DuckDB-only oracle for connected components over the simhash
+    near-dup pairs: recursive reachability, component = min doc_id
+    reachable.  (Spark has no recursive CTE — the engine side iterates;
+    see _q_dedup_components.)"""
+    return f"""
+    WITH RECURSIVE pairs AS ({sql_dedup_simhash_pairs(t, "duck")}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS doc FROM edges),
+    reach(doc, lbl) AS (
+      SELECT doc, doc FROM verts
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.doc
+    )
+    SELECT doc AS doc_id, min(lbl) AS component
+    FROM reach GROUP BY doc
+    """
+
+
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: pairwise matches → connected components
+    (component id = min doc_id), the step that turns a pair list into
+    dedup groups.  Engine shape: iterative min-label propagation — each
+    round ONE join + ONE aggregate over the edge frame, localCheckpoint
+    to keep lineage flat, early exit when no label changes.  Rounds are
+    bounded by component diameter; at 10^12-doc scale the same join
+    primitive runs as alternating large-star/small-star (O(log n)
+    rounds) — the loop shape is identical, only the round count policy
+    changes.  Control counts are over the (small) changed-label frame,
+    never the corpus."""
+    v = _view(spark, sf_dir, "documents")
+    pairs = spark.sql(sql_dedup_simhash_pairs(v, "spark")).select(
+        "doc_a", "doc_b"
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc")).distinct()
+        .withColumn("lbl", F.col("doc"))
+        .localCheckpoint()
+    )
+    for _ in range(15):
+        nbr = (
+            edges.join(
+                labels.select(F.col("doc").alias("doc_b"),
+                              F.col("lbl").alias("nlbl")),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nlbl").alias("nmin"))
+            .select(F.col("doc_a").alias("doc"), "nmin")
+        )
+        stepped = labels.join(nbr, "doc", "left").select(
+            "doc",
+            F.least(F.col("lbl"),
+                    F.coalesce(F.col("nmin"), F.col("lbl"))).alias("lbl"),
+            F.col("lbl").alias("old"),
+        )
+        # pointer jumping: follow my label's label — halves the round
+        # count to O(log diameter) for chain-shaped components
+        jumped = (
+            stepped.join(
+                stepped.select(F.col("doc").alias("lbl"),
+                               F.col("lbl").alias("lbl2")),
+                "lbl", "left",
+            )
+            .select(
+                "doc",
+                F.least(F.col("lbl"),
+                        F.coalesce(F.col("lbl2"), F.col("lbl"))).alias("lbl"),
+                (F.least(F.col("lbl"), F.coalesce(F.col("lbl2"),
+                                                  F.col("lbl")))
+                 != F.col("old")).alias("chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = jumped.filter("chg").count()
+        labels = jumped.drop("chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("doc").alias("doc_id"),
+                         F.col("lbl").alias("component"))
+
+
 def sql_media_decode(t: str, d: str) -> str:
     """Oracle for the decode stub: dims derived from the md5 hex of the ref."""
     return f"""
@@ -813,9 +902,10 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_agg": lambda spark, sf: spark.sql(
             sql_window_agg(_view(spark, sf, "events"), "spark")
         ),
-        # the two slowest gate queries run LAST: if a driver time budget
+        # the slowest gate queries run LAST: if a driver time budget
         # truncates the sweep (round-2 failure mode), it drops these —
         # never previously-green rows
+        "dedup_components": _q_dedup_components,
         "ann_ivf_assign": _sql_query_planes(sql_ann_ivf_assign, "embeddings",
                                             base=200, kw="cents"),
         "ann_ivf_topk": _sql_query_planes(sql_ann_ivf_topk, "embeddings",
@@ -837,6 +927,7 @@ def ml_oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": sql_dedup_minhash("documents", "duck"),
         "dedup_simhash": sql_dedup_simhash("documents", "duck"),
         "dedup_simhash_pairs": sql_dedup_simhash_pairs("documents", "duck"),
+        "dedup_components": sql_dedup_components_oracle("documents"),
         "dedup_embed_cosine": sql_dedup_embed_cosine("embeddings", "duck"),
         "sample_stratified": sql_sample_stratified("documents", "duck"),
         "text_langid": sql_text_langid("documents", "duck"),
