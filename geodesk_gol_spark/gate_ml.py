@@ -733,6 +733,55 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("lbl").alias("component"))
 
 
+def sql_corpus_dedup_filtered_oracle(t: str, min_tokens: int = 5,
+                                     max_stop_milli: int = 500) -> str:
+    """DuckDB oracle for the composed training-corpus filter."""
+    return f"""
+    WITH RECURSIVE pairs AS ({sql_dedup_simhash_pairs(t, "duck")}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS doc FROM edges),
+    reach(doc, lbl) AS (
+      SELECT doc, doc FROM verts
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.doc
+    ),
+    comp AS (SELECT doc AS doc_id, min(lbl) AS component
+             FROM reach GROUP BY doc),
+    losers AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+    q AS ({sql_text_quality(t, "duck")})
+    SELECT doc_id, n_tokens, stop_ratio_milli FROM q
+    WHERE n_tokens >= {min_tokens} AND stop_ratio_milli <= {max_stop_milli}
+      AND doc_id NOT IN (SELECT doc_id FROM losers)
+    """
+
+
+def _q_corpus_dedup_filtered(spark: SparkSession, sf_dir: str,
+                             min_tokens: int = 5,
+                             max_stop_milli: int = 500) -> DataFrame:
+    """The composed training-data pipeline: quality gate (token count +
+    stopword ratio) THEN near-dup removal (keep each component's
+    representative = min doc_id).  Each stage is the already-verified
+    operator; the composition is one anti-join — at corpus scale the
+    loser set is the small side (only docs inside dup clusters) and
+    broadcasts."""
+    v = _view(spark, sf_dir, "documents")
+    comp = _q_dedup_components(spark, sf_dir)
+    losers = comp.filter(F.col("doc_id") != F.col("component")).select(
+        "doc_id"
+    )
+    q = spark.sql(sql_text_quality(v, "spark"))
+    keep = q.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("stop_ratio_milli") <= max_stop_milli)
+    )
+    return keep.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "n_tokens", "stop_ratio_milli"
+    )
+
+
 def sql_media_decode(t: str, d: str) -> str:
     """Oracle for the decode stub: dims derived from the md5 hex of the ref."""
     return f"""
@@ -906,6 +955,7 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # truncates the sweep (round-2 failure mode), it drops these —
         # never previously-green rows
         "dedup_components": _q_dedup_components,
+        "corpus_dedup_filtered": _q_corpus_dedup_filtered,
         "ann_ivf_assign": _sql_query_planes(sql_ann_ivf_assign, "embeddings",
                                             base=200, kw="cents"),
         "ann_ivf_topk": _sql_query_planes(sql_ann_ivf_topk, "embeddings",
@@ -928,6 +978,7 @@ def ml_oracle_sql() -> dict[str, str]:
         "dedup_simhash": sql_dedup_simhash("documents", "duck"),
         "dedup_simhash_pairs": sql_dedup_simhash_pairs("documents", "duck"),
         "dedup_components": sql_dedup_components_oracle("documents"),
+        "corpus_dedup_filtered": sql_corpus_dedup_filtered_oracle("documents"),
         "dedup_embed_cosine": sql_dedup_embed_cosine("embeddings", "duck"),
         "sample_stratified": sql_sample_stratified("documents", "duck"),
         "text_langid": sql_text_langid("documents", "duck"),
