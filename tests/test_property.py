@@ -1,0 +1,98 @@
+"""Property-based robustness: parsers either parse or raise cleanly.
+
+Hypothesis sweeps the input spaces the hand-written tests sample:
+GOQL clause text, replication state files / revision paths, and
+feature-spec parsing.  No Spark session needed — these target the
+driver-side front-ends.
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geodesk_gol_spark.operators.info import parse_feature_specs
+from geodesk_gol_spark.query.goql import GoqlError, goql_to_column
+from geodesk_gol_spark.streaming.replication import (
+    ReplicationState,
+    parse_state,
+    revision_path,
+    write_state,
+)
+
+_key = st.text(string.ascii_lowercase + string.digits + "_:", min_size=1,
+               max_size=12)
+_val = st.text(string.ascii_letters + string.digits + " _-", min_size=1,
+               max_size=12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(types=st.sampled_from(["n", "w", "a", "r", "*", "nw", "na"]),
+       key=_key, val=_val,
+       op=st.sampled_from(["", "=", "!=", "~", "!~", ">", ">=", "<", "<="]))
+def test_goql_wellformed_clauses_compile_or_raise_goqlerror(spark, types,
+                                                            key, val, op):
+    """Any well-formed selector either compiles to a Column or raises
+    GoqlError (numeric ops with non-numeric comparands) — never any
+    other exception type.  (spark fixture: Column construction needs an
+    active SparkContext.)"""
+    q = f"{types}[{key}]" if not op else f"{types}[{key}{op}'{val}']"
+    try:
+        col = goql_to_column(q)
+    except GoqlError:
+        return
+    assert col is not None
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=40))
+def test_goql_garbage_never_crashes_uncontrolled(spark, garbage):
+    try:
+        goql_to_column(garbage)
+    except GoqlError:
+        pass  # the only acceptable failure mode
+
+
+@settings(max_examples=200, deadline=None)
+@given(rev=st.integers(min_value=0, max_value=999_999_999))
+def test_revision_path_roundtrip(rev):
+    p = revision_path(rev)
+    a, b, c = p.split("/")
+    assert len(a) == len(b) == len(c) == 3
+    assert int(a) * 1_000_000 + int(b) * 1_000 + int(c) == rev
+
+
+@settings(max_examples=100, deadline=None)
+@given(rev=st.integers(min_value=0, max_value=2**31 - 1),
+       ts=st.datetimes().map(lambda d: d.strftime("%Y-%m-%dT%H:%M:%SZ")))
+def test_state_file_roundtrip(tmp_path_factory, rev, ts):
+    path = tmp_path_factory.mktemp("state") / "state.txt"
+    write_state(str(path), ReplicationState(rev, ts))
+    assert parse_state(path.read_text()) == ReplicationState(rev, ts)
+
+
+@settings(max_examples=200, deadline=None)
+@given(letter=st.sampled_from("nwr"),
+       fid=st.integers(min_value=0, max_value=2**60))
+def test_feature_spec_roundtrip(letter, fid):
+    [typed] = parse_feature_specs([f"{letter}{fid}"])
+    assert typed // 4 == fid
+    assert typed % 4 == {"n": 0, "w": 1, "r": 2}[letter]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=20))
+def test_feature_spec_garbage_raises_valueerror(garbage):
+    import re
+
+    if re.fullmatch(r"[nwr]\d+", garbage.strip()):
+        parse_feature_specs([garbage])
+    else:
+        try:
+            parse_feature_specs([garbage])
+        except ValueError:
+            pass
+        else:
+            raise AssertionError(f"accepted garbage {garbage!r}")
