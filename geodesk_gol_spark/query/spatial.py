@@ -305,12 +305,47 @@ def _ring_pass(pts: DataFrame, queries: DataFrame, k: int, ring: int,
     return ranked, sure
 
 
+def auto_cell_bits(points: DataFrame, k: int, ring: int,
+                   lo: int = 12, hi: int = 22,
+                   ref_bits: int = 15, mu_target: float = 160.0) -> int:
+    """Density-adaptive candidate-grid size.
+
+    The grid must balance two failure modes: too fine and sparse-area
+    queries escalate (extra passes, ultimately brute); too coarse and
+    dense-cluster queries drag huge candidate sets through the rank
+    window.  The statistic that predicts both is the occupancy the
+    TYPICAL POINT sees — the point-weighted mean cell count
+    μ_seen = Σc²/n (a plain mean is dominated by empty countryside and
+    overshoots by several bits on clustered data; measured: it picked
+    bits=21 where the empirical optimum at sf0.1 was 15-17).  One
+    aggregate at a reference grid, then local-uniform scaling
+    μ(b) = μ_seen·4^(b-ref) solved for the per-cell target
+    (``mu_target`` ≈ 4000-candidate ring blocks — empirically flat-
+    optimal across 10× density range).  Exactness never depends on the
+    choice; only how often the distance-bound escalation fires."""
+    import math
+
+    cell = 1 << ref_bits
+    st = (
+        points.groupBy(
+            F.floor(F.col("x") / cell).alias("c"),
+            F.floor(F.col("y") / cell).alias("r"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("n").alias("s1"), F.sum(F.col("n") * F.col("n")).alias("s2"))
+        .collect()[0]
+    )
+    mu_seen = max(float(st["s2"]) / max(float(st["s1"]), 1.0), 0.25)
+    bits = ref_bits + 0.5 * math.log2(mu_target / mu_seen)
+    return min(max(int(round(bits)), lo), hi)
+
+
 def knn_cell_rings(
     points: DataFrame,
     queries: DataFrame,
     k: int = 5,
     ring: int = 2,
-    cell_bits: int = 15,
+    cell_bits: int | None = None,
     escalations: int = 2,
 ) -> DataFrame:
     """Scale path: candidate generation by cell-neighbor rings, exact
@@ -330,7 +365,12 @@ def knn_cell_rings(
     point set); only queries still open after ``escalations`` doublings
     take the brute-force path, and that set is tiny by construction
     (sparse-world queries with < k points within ~2^(bits+ring) units).
+
+    ``cell_bits=None`` (default) sizes the grid from the corpus density
+    (see auto_cell_bits) — one bounded stats aggregate.
     """
+    if cell_bits is None:
+        cell_bits = auto_cell_bits(points, k, ring)
     cell = 1 << cell_bits
     pts = points.withColumn(
         "cc", F.floor(F.col("x") / cell).cast("int")
