@@ -925,6 +925,17 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch form; the streaming
+    applyInPandasWithState twin is verified equal in
+    tests/test_sessions.py)."""
+    from .streaming.sessions import sessionize_batch
+
+    return sessionize_batch(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
 def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": _sql_query(sql_dedup_exact, "documents"),
@@ -951,6 +962,7 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_agg": lambda spark, sf: spark.sql(
             sql_window_agg(_view(spark, sf, "events"), "spark")
         ),
+        "events_sessionize": _q_events_sessionize,
         # the slowest gate queries run LAST: if a driver time budget
         # truncates the sweep (round-2 failure mode), it drops these —
         # never previously-green rows
@@ -966,6 +978,7 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def ml_oracle_sql() -> dict[str, str]:
     from .gate import DENSITY  # noqa: F401  (imported for parity of constants)
     from . import sqlgen
+    from .streaming.sessions import sql_sessionize as _sql_sessionize
 
     media_src = f"""
     (SELECT concat('blob://', CAST({sqlgen.NODE_ID} AS STRING)) AS media_ref
@@ -994,4 +1007,5 @@ def ml_oracle_sql() -> dict[str, str]:
         "media_decode_stub": sql_media_decode(media_src, "duck"),
         "s8_change_merge": sql_change_merge("events", "lineitem", "duck"),
         "streaming_window_agg": sql_window_agg("events", "duck"),
+        "events_sessionize": _sql_sessionize("events", "duck"),
     }
