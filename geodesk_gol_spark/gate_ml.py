@@ -782,6 +782,41 @@ def _q_corpus_dedup_filtered(spark: SparkSession, sf_dir: str,
     )
 
 
+def sql_text_pii_scrub(t: str, d: str) -> str:
+    """PII-like scrubbing (training-data hygiene): count and redact
+    email-shaped tokens and long digit runs (id/phone-shaped), then
+    fingerprint the redacted text so the oracle proves the REPLACEMENT
+    itself, not just the counts.  The driver corpus is digit-free word
+    salad, so the harness first INJECTS deterministic PII (one email +
+    one ≥7-digit ref per doc, derived from doc columns) — the scrubber
+    must find exactly those and nothing else, and the fingerprint
+    catches any over/under-replacement.  Patterns stay in the
+    Java-regex ∩ RE2 common subset; DuckDB needs the 'g' flag for
+    replace-all (Spark's regexp_replace is always global)."""
+    email = "[A-Za-z0-9_.]+@[A-Za-z0-9.]+"
+    num = "[0-9]{6,}"
+    aug = (
+        "concat(text, ' contact user', CAST(doc_id AS STRING), "
+        "'@example.com ref ', CAST(n_chars * 1234567 AS STRING))"
+    )
+    if d == "spark":
+        n_email = f"regexp_count(aug, '{email}')"
+        n_num = f"regexp_count(aug, '{num}')"
+        red = (f"regexp_replace(regexp_replace(aug, '{email}', '<EMAIL>'), "
+               f"'{num}', '<NUM>')")
+    else:
+        n_email = f"len(regexp_extract_all(aug, '{email}'))"
+        n_num = f"len(regexp_extract_all(aug, '{num}'))"
+        red = (f"regexp_replace(regexp_replace(aug, '{email}', '<EMAIL>', "
+               f"'g'), '{num}', '<NUM>', 'g')")
+    return f"""
+    SELECT doc_id, CAST({n_email} AS BIGINT) AS n_emails,
+           CAST({n_num} AS BIGINT) AS n_longnums,
+           {hex2int(red, d)} AS redacted_fp
+    FROM (SELECT doc_id, {aug} AS aug FROM {t})
+    """
+
+
 def sql_media_decode(t: str, d: str) -> str:
     """Oracle for the decode stub: dims derived from the md5 hex of the ref."""
     return f"""
@@ -954,6 +989,7 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": _sql_query_planes(sql_ann_lsh_buckets, "embeddings"),
         "ann_lsh_topk": _sql_query_planes(sql_ann_lsh_topk, "embeddings"),
         "text_tokens_bpe": _sql_query(sql_text_tokens_bpe, "documents"),
+        "text_pii_scrub": _sql_query(sql_text_pii_scrub, "documents"),
         "media_decode_stub": _q_media_decode,
         "s8_change_merge": lambda spark, sf: spark.sql(
             sql_change_merge(_view(spark, sf, "events"), _view(spark, sf, "lineitem"),
@@ -1004,6 +1040,7 @@ def ml_oracle_sql() -> dict[str, str]:
         "ann_ivf_assign": sql_ann_ivf_assign("embeddings", "duck"),
         "ann_ivf_topk": sql_ann_ivf_topk("embeddings", "duck"),
         "text_tokens_bpe": sql_text_tokens_bpe("documents", "duck"),
+        "text_pii_scrub": sql_text_pii_scrub("documents", "duck"),
         "media_decode_stub": sql_media_decode(media_src, "duck"),
         "s8_change_merge": sql_change_merge("events", "lineitem", "duck"),
         "streaming_window_agg": sql_window_agg("events", "duck"),
