@@ -666,6 +666,9 @@ def sql_dedup_components_oracle(t: str) -> str:
     """
 
 
+_COMPONENTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: pairwise matches → connected components
     (component id = min doc_id), the step that turns a pair list into
@@ -676,7 +679,12 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive runs as alternating large-star/small-star (O(log n)
     rounds) — the loop shape is identical, only the round count policy
     changes.  Control counts are over the (small) changed-label frame,
-    never the corpus."""
+    never the corpus.  The converged (localCheckpointed) labels memoize
+    per session: corpus_dedup_filtered reuses them instead of re-running
+    the whole propagation."""
+    key = (id(spark), sf_dir.rstrip("/"))
+    if key in _COMPONENTS_CACHE:
+        return _COMPONENTS_CACHE[key]
     v = _view(spark, sf_dir, "documents")
     pairs = spark.sql(sql_dedup_simhash_pairs(v, "spark")).select(
         "doc_a", "doc_b"
@@ -729,8 +737,10 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = jumped.drop("chg")
         if changed == 0:
             break
-    return labels.select(F.col("doc").alias("doc_id"),
-                         F.col("lbl").alias("component"))
+    out = labels.select(F.col("doc").alias("doc_id"),
+                        F.col("lbl").alias("component"))
+    _COMPONENTS_CACHE[key] = out
+    return out
 
 
 def sql_corpus_dedup_filtered_oracle(t: str, min_tokens: int = 5,
