@@ -292,6 +292,81 @@ def sql_sample_stratified(t: str, d: str, per_stratum: int = 40) -> str:
     """
 
 
+def sql_text_decontaminate(t: str, d: str, k: int = 5,
+                           mod: int = 41, res: int = 7) -> str:
+    """Benchmark decontamination: flag corpus docs that share any
+    ``k``-gram with a held-out benchmark set (here the deterministic
+    slice doc_id % mod = res of the same table — no external data).
+    The big side (corpus k-grams) never self-joins: candidates come
+    from an equality hash join against the SMALL benchmark-gram side,
+    which Spark broadcasts (AQE at scale) — the standard eval-leakage
+    scrub a training pipeline runs before every dump.  n_hits counts
+    (gram, benchmark-doc) matches; n_bench_docs counts distinct
+    benchmark docs hit."""
+    bench = f"(SELECT doc_id, text FROM {t} WHERE doc_id % {mod} = {res}) bsrc"
+    return f"""
+    WITH cg AS (SELECT DISTINCT doc_id, sh
+                FROM ({shingles_from(t, d, k)})
+                WHERE doc_id % {mod} <> {res}),
+    bg AS (SELECT DISTINCT doc_id, sh FROM ({shingles_from(bench, d, k)})),
+    hits AS (
+      SELECT c.doc_id AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_hits,
+             CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+      FROM cg c JOIN bg b ON b.sh = c.sh
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_hits, n_bench_docs FROM hits
+    """
+
+
+def sql_text_repetition(t: str, d: str) -> str:
+    """Gopher-style repetition quality signals, per document: the
+    fraction of bigrams taken by the single most frequent bigram and
+    the duplicated-bigram fraction (1 − distinct/total), both as
+    integer milli-fractions.  One explode + two per-doc aggregations —
+    partial (map-side) combine does the heavy lifting at scale; no
+    join, no window over the corpus."""
+    return f"""
+    WITH bg AS (SELECT doc_id, sh FROM ({shingles_from(t, d, 2)})),
+    cnt AS (SELECT doc_id, sh, count(*) AS c FROM bg GROUP BY doc_id, sh),
+    agg AS (SELECT doc_id, max(c) AS top_c,
+                   CAST(sum(c) AS BIGINT) AS total,
+                   count(*) AS n_distinct
+            FROM cnt GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(floor(top_c * 1000 / total) AS BIGINT) AS top_bigram_milli,
+           CAST(floor((total - n_distinct) * 1000 / total) AS BIGINT)
+             AS dup_bigram_milli
+    FROM agg
+    """
+
+
+def sql_sample_temperature(t: str, d: str, scale: int = 4) -> str:
+    """Temperature-weighted mixture sampling (α = 0.5): each source's
+    quota is ⌊scale·√n⌋ docs — the sub-linear allocation that upweights
+    small sources when mixing a training corpus — picked by the same
+    keyed-permutation order as sample_stratified (md5 of a salted doc
+    id; no RNG, engine-independent).  The per-source window is a
+    partial per-partition top-N (WindowGroupLimit) and the quota join
+    is a broadcast of one row per source."""
+    return f"""
+    WITH cnts AS (SELECT source, count(*) AS n FROM {t} GROUP BY source),
+    q AS (SELECT source,
+                 CAST(greatest(1, floor({scale} * sqrt(n))) AS BIGINT) AS quota
+          FROM cnts),
+    r AS (SELECT source, doc_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(concat('mix:', CAST(doc_id AS STRING))),
+                            doc_id) AS INT) AS rk
+          FROM {t})
+    SELECT r.source AS source, r.doc_id AS doc_id, r.rk AS rk
+    FROM r JOIN q ON q.source = r.source
+    WHERE r.rk <= q.quota
+    """
+
+
 def sql_text_langid(t: str, d: str) -> str:
     return f"""
     SELECT doc_id, lang,
@@ -1057,6 +1132,9 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_embed_cosine": _q_dedup_embed_cosine,
         "sample_stratified": _sql_query(sql_sample_stratified, "documents"),
+        "sample_temperature": _sql_query(sql_sample_temperature, "documents"),
+        "text_decontaminate": _sql_query(sql_text_decontaminate, "documents"),
+        "text_repetition": _sql_query(sql_text_repetition, "documents"),
         "text_langid": _sql_query(sql_text_langid, "documents"),
         "text_quality": _sql_query(sql_text_quality, "documents"),
         "text_tokens_by_lang": _sql_query(sql_text_tokens_by_lang, "documents"),
@@ -1106,6 +1184,9 @@ def ml_oracle_sql() -> dict[str, str]:
         "corpus_dedup_filtered": sql_corpus_dedup_filtered_oracle("documents"),
         "dedup_embed_cosine": sql_dedup_embed_cosine("embeddings", "duck"),
         "sample_stratified": sql_sample_stratified("documents", "duck"),
+        "sample_temperature": sql_sample_temperature("documents", "duck"),
+        "text_decontaminate": sql_text_decontaminate("documents", "duck"),
+        "text_repetition": sql_text_repetition("documents", "duck"),
         "text_langid": sql_text_langid("documents", "duck"),
         "text_quality": sql_text_quality("documents", "duck"),
         "text_tokens_by_lang": sql_text_tokens_by_lang("documents", "duck"),

@@ -26,6 +26,9 @@ SAMPLE = [
     "dedup_embed_cosine",
     "raster_zonal_stats",
     "text_fingerprint",
+    "text_decontaminate",
+    "text_repetition",
+    "sample_temperature",
     "ann_cosine_topk",
     "s8_change_merge",
 ]
