@@ -381,6 +381,31 @@ def _q_s5_archive_manifest(spark, sf):
     )
 
 
+def _q_s6_archive_load(spark, sf):
+    """S6 round-trip with teeth: save the full store as a tile archive
+    (once per sf, memoized on disk), load it back with checksum
+    verification ON, and report the loaded per-tile manifest counts.
+    A save or load that drops, duplicates, or reorders any row flips a
+    tile's xxhash64 checksum and the load raises before returning —
+    so this row being green certifies the parquet round-trip, not just
+    the counting SQL (which the s5 oracle shares)."""
+    import pathlib
+
+    from geodesk_gol_spark.operators.archive import (MANIFEST, load_tiles,
+                                                     save_tiles)
+
+    c = ctx(spark, sf)
+    path = pathlib.Path("/root/repo/.gatecache/archive_" +
+                        pathlib.Path(sf.rstrip("/")).name)
+    if not (path / MANIFEST).exists():
+        save_tiles(c["store"], c["catalog"], str(path))
+    rows = load_tiles(spark, str(path), verify=True)
+    return rows.groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("is_ghost").cast("long")).alias("n_ghosts"),
+    )
+
+
 def _q_p4_key_projection(spark, sf):
     """P4 -k key projection: csv-style (id, lon, lat, requested keys)."""
     from geodesk_gol_spark.query.formats import node_csv
@@ -795,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o9_check_store": _q_o9_check_store,
         "o9_check_corrupt": _q_o9_check_corrupt,
         "s5_archive_manifest": _q_s5_archive_manifest,
+        "s6_archive_load": _q_s6_archive_load,
         "p4_key_projection": _q_p4_key_projection,
         "a7_count_formats": _q_a7_count_formats,
         "o_info_summary": _q_o_info_summary,
@@ -1152,6 +1178,10 @@ def oracle_sql() -> dict[str, str]:
     from geodesk_gol_spark.gate_ml import ml_oracle_sql
 
     o.update(ml_oracle_sql())
+    # S6 loads back what S5 saved, so the expected counts are the same
+    # SQL; the round-trip itself is certified engine-side by the
+    # checksum verify inside load_tiles (raises on any drift).
+    o["s6_archive_load"] = o["s5_archive_manifest"]
     return o
 
 

@@ -272,15 +272,32 @@ def _ring_pass(pts: DataFrame, queries: DataFrame, k: int, ring: int,
     from pyspark.sql import Window
 
     cell = 1 << cell_bits
-    safe_sq = ((ring - 1) * cell) ** 2
     offs = [(dc, dr) for dc in range(-ring, ring + 1)
             for dr in range(-ring, ring + 1)]
     off_df = queries.sparkSession.createDataFrame(offs, "dc int, dr int")
-    qcells = (
+    # per-query EXACT certainty margin: the distance from the query
+    # point to the nearest edge of its ring block.  The conservative
+    # constant (ring-1)*cell assumes the query sits in its cell's worst
+    # corner; the exact margin averages ~ring+0.5 cells, certifying far
+    # more queries per pass (measured at sf0.1: 202 → ~110 escapees
+    # after pass 0, and it's what lets sparse-tail passes be skipped).
+    qm = (
         queries.withColumn("qc", F.floor(F.col("qx") / cell).cast("int"))
         .withColumn("qr", F.floor(F.col("qy") / cell).cast("int"))
-        .join(F.broadcast(off_df))
-        .select("q_id", "qx", "qy", (F.col("qc") + F.col("dc")).alias("cc"),
+        .withColumn(
+            "margin",
+            F.least(
+                F.col("qx") - (F.col("qc") - ring) * cell,
+                (F.col("qc") + ring + 1) * cell - F.col("qx"),
+                F.col("qy") - (F.col("qr") - ring) * cell,
+                (F.col("qr") + ring + 1) * cell - F.col("qy"),
+            ),
+        )
+    )
+    qcells = (
+        qm.join(F.broadcast(off_df))
+        .select("q_id", "qx", "qy", "margin",
+                (F.col("qc") + F.col("dc")).alias("cc"),
                 (F.col("qr") + F.col("dr")).alias("cr"))
     )
     cand = pts.join(F.broadcast(qcells), ["cc", "cr"])
@@ -288,18 +305,21 @@ def _ring_pass(pts: DataFrame, queries: DataFrame, k: int, ring: int,
         F.col("y") - F.col("qy")
     ) * (F.col("y") - F.col("qy"))
     w = Window.partitionBy("q_id").orderBy(F.col("dist"), F.col("id"))
-    ranked = (
+    topk = (
         cand.withColumn("dist", d)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("q_id", F.col("id").alias("neighbor_id"), "rank", "dist")
         .persist()
     )
-    # final iff k candidates found AND k-th distance within the safe bound
+    ranked = topk.select(
+        "q_id", F.col("id").alias("neighbor_id"), "rank", "dist"
+    )
+    # final iff k candidates found AND k-th distance within the margin
     sure = (
-        ranked.groupBy("q_id")
-        .agg(F.max("rank").alias("got"), F.max("dist").alias("kth"))
-        .filter((F.col("got") == k) & (F.col("kth") <= safe_sq))
+        topk.groupBy("q_id")
+        .agg(F.max("rank").alias("got"), F.max("dist").alias("kth"),
+             F.first("margin").alias("m"))
+        .filter((F.col("got") == k) & (F.col("kth") <= F.col("m") * F.col("m")))
         .select("q_id")
     )
     return ranked, sure
@@ -378,13 +398,21 @@ def knn_cell_rings(
     remaining = queries
     parts: list[DataFrame] = []
     r = ring
+    n_prev = None
     for _ in range(escalations + 1):
         ranked, sure = _ring_pass(pts, remaining, k, r, cell_bits)
         parts.append(ranked.join(sure, "q_id", "left_semi"))
         remaining = remaining.join(sure, "q_id", "left_anti").localCheckpoint()
-        if remaining.isEmpty():
+        n_rem = remaining.count()  # tiny checkpointed control frame
+        if n_rem == 0:
             remaining = None
             break
+        if n_prev is not None and n_rem == n_prev:
+            # the doubling certified nobody: the stragglers sit in
+            # regions so sparse that further exponential ring growth is
+            # hopeless — hand the (small, counted) residue to brute now
+            break
+        n_prev = n_rem
         r *= 2
     if remaining is not None:
         parts.append(knn_bruteforce(points, remaining, k))
