@@ -367,6 +367,47 @@ def sql_sample_temperature(t: str, d: str, scale: int = 4) -> str:
     """
 
 
+def sql_text_chunks(t: str, d: str, win: int = 64, step: int = 48) -> str:
+    """Sliding-window document chunking — the step every training
+    pipeline runs between cleaning and tokenization: split each doc
+    into ``win``-word windows advancing by ``step`` (win−step words of
+    overlap), emitting per-chunk length and a rolling-hash fingerprint
+    (so chunk-level exact dedup can run downstream without carrying
+    text).  Pure explode over a per-doc index sequence — embarrassingly
+    parallel, no shuffle at all until something aggregates chunks."""
+    ws = split_ws("text", d)
+
+    def codes(arr: str) -> str:
+        return list_map(
+            arr, "w -> CAST(length(w) * 31 + ascii(substr(w, 1, 1)) AS BIGINT)",
+            d)
+
+    if d == "spark":
+        sl = f"slice(ws, i * {step} + 1, {win})"
+        return f"""
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               CAST(least({win}, n - i * {step}) AS INT) AS chunk_len,
+               {fold_words(codes(sl), d)} AS chunk_hash
+        FROM (SELECT doc_id, ws, size(ws) AS n
+              FROM (SELECT doc_id, {ws} AS ws FROM {t})
+              WHERE size(ws) >= 1)
+        LATERAL VIEW explode(
+          sequence(0, CAST(floor((n - 1) / {step}) AS INT))) u AS i
+        """
+    sl = f"ws[i * {step} + 1 : i * {step} + {win}]"
+    return f"""
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           CAST(least({win}, n - i * {step}) AS INT) AS chunk_len,
+           {fold_words(codes(sl), d)} AS chunk_hash
+    FROM (
+      SELECT doc_id, ws, n,
+             unnest(range(0, CAST(floor((n - 1) / {step}) AS BIGINT) + 1)) AS i
+      FROM (SELECT doc_id, {ws} AS ws, len({ws}) AS n FROM {t}
+            WHERE len({ws}) >= 1)
+    )
+    """
+
+
 def sql_text_langid(t: str, d: str) -> str:
     return f"""
     SELECT doc_id, lang,
@@ -1135,6 +1176,7 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": _sql_query(sql_sample_temperature, "documents"),
         "text_decontaminate": _sql_query(sql_text_decontaminate, "documents"),
         "text_repetition": _sql_query(sql_text_repetition, "documents"),
+        "text_chunks": _sql_query(sql_text_chunks, "documents"),
         "text_langid": _sql_query(sql_text_langid, "documents"),
         "text_quality": _sql_query(sql_text_quality, "documents"),
         "text_tokens_by_lang": _sql_query(sql_text_tokens_by_lang, "documents"),
@@ -1187,6 +1229,7 @@ def ml_oracle_sql() -> dict[str, str]:
         "sample_temperature": sql_sample_temperature("documents", "duck"),
         "text_decontaminate": sql_text_decontaminate("documents", "duck"),
         "text_repetition": sql_text_repetition("documents", "duck"),
+        "text_chunks": sql_text_chunks("documents", "duck"),
         "text_langid": sql_text_langid("documents", "duck"),
         "text_quality": sql_text_quality("documents", "duck"),
         "text_tokens_by_lang": sql_text_tokens_by_lang("documents", "duck"),
