@@ -678,6 +678,37 @@ def sql_ann_ivf_assign(t: str, d: str, n_cent: int = 8, base: int = 200,
     """
 
 
+def sql_ann_kmeans_iter(t: str, d: str, n_cent: int = 8, base: int = 200,
+                        dim: int = 64, cents: list | None = None) -> str:
+    """One Lloyd (k-means) iteration over the IVF assignment: for every
+    (centroid, dimension), the count and the FIXED-POINT sum of the
+    assigned vectors' components.  Floats are floored to milli-units
+    BEFORE summing, so the aggregation is integer arithmetic — exact
+    and aggregation-order-independent, hence bit-identical across
+    engines (a double sum would round differently under Spark's partial
+    aggregation vs DuckDB's sequential fold).  The caller derives the
+    new centroid as sum_milli/(1000·n).  Shape at scale: explode by a
+    64-row broadcast dim table, then one partial-aggregated groupBy —
+    the standard distributed k-means step."""
+    elem = (f"element_at(e.embedding, dims.dim)" if d == "spark"
+            else "e.embedding[dims.dim]")
+    dims = (f"(SELECT explode(sequence(1, {dim})) AS dim)" if d == "spark"
+            else f"(SELECT unnest(range(1, {dim + 1})) AS dim)")
+    return f"""
+    WITH asn AS ({sql_ann_ivf_assign(t, d, n_cent, base, cents)}),
+    x AS (
+      SELECT a.centroid AS centroid, CAST(dims.dim AS INT) AS dim,
+             CAST(floor(CAST({elem} AS DOUBLE) * 1000) AS BIGINT) AS v
+      FROM asn a
+      JOIN {t} e ON e.vec_id = a.vec_id
+      CROSS JOIN {dims} dims
+    )
+    SELECT centroid, dim, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sum_milli
+    FROM x GROUP BY centroid, dim
+    """
+
+
 def sql_ann_ivf_topk(t: str, d: str, k: int = 5, n_q: int = 4,
                      n_cent: int = 8, base: int = 200, nprobe: int = 2,
                      cents: list | None = None) -> str:
@@ -1204,6 +1235,9 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                             base=200, kw="cents"),
         "ann_ivf_topk": _sql_query_planes(sql_ann_ivf_topk, "embeddings",
                                           base=200, kw="cents"),
+        "ann_kmeans_iter": _sql_query_planes(sql_ann_kmeans_iter,
+                                             "embeddings", base=200,
+                                             kw="cents"),
     }
 
 
@@ -1239,6 +1273,7 @@ def ml_oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": sql_ann_lsh_topk("embeddings", "duck"),
         "ann_ivf_assign": sql_ann_ivf_assign("embeddings", "duck"),
         "ann_ivf_topk": sql_ann_ivf_topk("embeddings", "duck"),
+        "ann_kmeans_iter": sql_ann_kmeans_iter("embeddings", "duck"),
         "text_tokens_bpe": sql_text_tokens_bpe("documents", "duck"),
         "text_pii_scrub": sql_text_pii_scrub("documents", "duck"),
         "media_decode_stub": sql_media_decode(media_src, "duck"),
