@@ -1001,6 +1001,29 @@ def sql_media_decode(t: str, d: str) -> str:
     """
 
 
+def sql_media_frames(t: str, d: str) -> str:
+    """Oracle for the frame-sampling stub: frame count and per-frame
+    values derived from the md5 hex of the ref (the synthetic blob IS
+    unhex(md5(ref)), so hex char 2i+1 is the hi nibble of blob byte i —
+    the same identity sql_media_decode exploits)."""
+    return f"""
+    WITH m AS (SELECT DISTINCT media_ref FROM {t}),
+    base AS (
+      SELECT media_ref, md5(media_ref) AS hx,
+             CAST(1 + (ascii(substr(md5(media_ref), 1, 1)) % 4) AS INT)
+               AS n_frames
+      FROM m
+    )
+    SELECT media_ref, CAST(0 AS INT) AS frame_idx, n_frames,
+           CAST(ascii(substr(hx, 1, 1)) AS INT) AS frame_val
+    FROM base
+    UNION ALL
+    SELECT media_ref, CAST(2 AS INT), n_frames,
+           CAST(ascii(substr(hx, 5, 1)) AS INT)
+    FROM base WHERE n_frames >= 3
+    """
+
+
 def sql_change_merge(events: str, lineitem: str, d: str) -> str:
     nid = "(l_orderkey * 8 + l_linenumber)"
     return f"""
@@ -1184,6 +1207,55 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling (real Arrow plumbing, fake decoder).
+
+    Treats each binary blob as an opaque 'video': frame count from the
+    first byte, frames sampled at stride 2, one output row per sampled
+    frame.  The real part is the Spark shape — mapInPandas with a
+    1:N row fan-out per asset, fully vectorized over the Arrow batch
+    (numpy nibble math, no per-row Python).  The decoder itself is the
+    deterministic stand-in this container mandates (no image/video
+    libs); a real pipeline swaps only the body of ``sample``."""
+    import pandas as pd
+
+    from .gate import ctx
+
+    c = ctx(spark, sf_dir)
+    assets = (
+        c["feats"]["media"].select("media_ref").distinct()
+        .withColumn("blob", F.unhex(F.md5("media_ref")))
+    )
+
+    def sample(batches):
+        import numpy as np
+
+        def hex_ord(byte_vals):
+            # ascii code of the hi nibble's lowercase hex char
+            hi = byte_vals >> 4
+            return np.where(hi < 10, 48 + hi, 87 + hi)
+
+        for pdf in batches:
+            o0 = hex_ord(pdf["blob"].str[0].to_numpy(np.int64))
+            nf = (1 + (o0 % 4)).astype(np.int32)
+            out0 = pd.DataFrame(
+                {"media_ref": pdf["media_ref"], "frame_idx": 0,
+                 "n_frames": nf, "frame_val": o0.astype(np.int32)}
+            )
+            mask = nf >= 3
+            o2 = hex_ord(pdf["blob"].str[2].to_numpy(np.int64))
+            out2 = pd.DataFrame(
+                {"media_ref": pdf["media_ref"][mask], "frame_idx": 2,
+                 "n_frames": nf[mask], "frame_val": o2[mask].astype(np.int32)}
+            )
+            yield pd.concat([out0, out2], ignore_index=True)
+
+    return assets.mapInPandas(
+        sample,
+        "media_ref string, frame_idx int, n_frames int, frame_val int",
+    )
+
+
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch form; the streaming
     applyInPandasWithState twin is verified equal in
@@ -1218,6 +1290,7 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens_bpe": _sql_query(sql_text_tokens_bpe, "documents"),
         "text_pii_scrub": _sql_query(sql_text_pii_scrub, "documents"),
         "media_decode_stub": _q_media_decode,
+        "media_frame_sample": _q_media_frames,
         "s8_change_merge": lambda spark, sf: spark.sql(
             sql_change_merge(_view(spark, sf, "events"), _view(spark, sf, "lineitem"),
                              "spark")
@@ -1277,6 +1350,7 @@ def ml_oracle_sql() -> dict[str, str]:
         "text_tokens_bpe": sql_text_tokens_bpe("documents", "duck"),
         "text_pii_scrub": sql_text_pii_scrub("documents", "duck"),
         "media_decode_stub": sql_media_decode(media_src, "duck"),
+        "media_frame_sample": sql_media_frames(media_src, "duck"),
         "s8_change_merge": sql_change_merge("events", "lineitem", "duck"),
         "streaming_window_agg": sql_window_agg("events", "duck"),
         "events_sessionize": _sql_sessionize("events", "duck"),
