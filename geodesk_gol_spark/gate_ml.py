@@ -850,7 +850,10 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in _COMPONENTS_CACHE:
         return _COMPONENTS_CACHE[key]
     v = _view(spark, sf_dir, "documents")
-    pairs = spark.sql(sql_dedup_simhash_pairs(v, "spark")).select(
+    sh = _materialized_view(
+        spark, f"{sf_dir}:simhash48",
+        lambda: spark.sql(sql_dedup_simhash(v, "spark", 48)))
+    pairs = spark.sql(sql_dedup_simhash_pairs(v, "spark", sh_src=sh)).select(
         "doc_a", "doc_b"
     )
     edges = pairs.unionByName(
