@@ -342,14 +342,23 @@ def sql_text_repetition(t: str, d: str) -> str:
     """
 
 
-def sql_sample_temperature(t: str, d: str, scale: int = 4) -> str:
+def sql_sample_temperature(t: str, d: str, scale: int = 4,
+                           cap: int | None = None) -> str:
     """Temperature-weighted mixture sampling (α = 0.5): each source's
     quota is ⌊scale·√n⌋ docs — the sub-linear allocation that upweights
     small sources when mixing a training corpus — picked by the same
     keyed-permutation order as sample_stratified (md5 of a salted doc
     id; no RNG, engine-independent).  The per-source window is a
     partial per-partition top-N (WindowGroupLimit) and the quota join
-    is a broadcast of one row per source."""
+    is a broadcast of one row per source.
+
+    ``cap`` (engine side): a LITERAL upper bound on every source's
+    quota, collected driver-side (one tiny agg).  The per-source quota
+    is a joined column, which Spark's InferWindowGroupLimit cannot use;
+    the redundant ``rk <= cap`` conjunct pushes below the join and
+    turns the window into a per-partition group limit — without it,
+    every stratum fully ranks all of its rows.  Result is unchanged
+    (cap ≥ every quota by construction); the oracle omits it."""
     return f"""
     WITH cnts AS (SELECT source, count(*) AS n FROM {t} GROUP BY source),
     q AS (SELECT source,
@@ -363,7 +372,7 @@ def sql_sample_temperature(t: str, d: str, scale: int = 4) -> str:
           FROM {t})
     SELECT r.source AS source, r.doc_id AS doc_id, r.rk AS rk
     FROM r JOIN q ON q.source = r.source
-    WHERE r.rk <= q.quota
+    WHERE {f'r.rk <= {cap} AND ' if cap is not None else ''}r.rk <= q.quota
     """
 
 
@@ -1126,6 +1135,15 @@ def _materialized_view(spark: SparkSession, key: str,
     return _MATVIEW_CACHE[full]
 
 
+def _q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _view(spark, sf_dir, "documents")
+    cap = spark.sql(
+        f"SELECT CAST(greatest(1, floor(4 * sqrt(max(n)))) AS BIGINT) AS c "
+        f"FROM (SELECT count(*) AS n FROM {v} GROUP BY source)"
+    ).collect()[0]["c"]
+    return spark.sql(sql_sample_temperature(v, "spark", cap=int(cap)))
+
+
 def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _view(spark, sf_dir, "documents")
     sh = _materialized_view(
@@ -1279,7 +1297,7 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_embed_cosine": _q_dedup_embed_cosine,
         "sample_stratified": _sql_query(sql_sample_stratified, "documents"),
-        "sample_temperature": _sql_query(sql_sample_temperature, "documents"),
+        "sample_temperature": _q_sample_temperature,
         "text_decontaminate": _sql_query(sql_text_decontaminate, "documents"),
         "text_repetition": _sql_query(sql_text_repetition, "documents"),
         "text_chunks": _sql_query(sql_text_chunks, "documents"),
