@@ -96,3 +96,42 @@ def test_feature_spec_garbage_raises_valueerror(garbage):
             pass
         else:
             raise AssertionError(f"accepted garbage {garbage!r}")
+
+
+_word = st.text(string.ascii_lowercase, min_size=1, max_size=5)
+
+
+@settings(max_examples=100, deadline=None)
+@given(words=st.lists(_word, min_size=0, max_size=40),
+       win=st.integers(2, 8), step=st.integers(1, 8))
+def test_text_chunks_boundaries_match_python_model(words, win, step):
+    """The chunking SQL's window/boundary arithmetic equals an
+    independent Python model for arbitrary (win, step, doc length) —
+    including the empty document (SQL split('') = [''], one 1-word
+    chunk) and trailing partial windows.  DuckDB dialect only: the
+    Spark↔DuckDB equality of the same template is the gate's job."""
+    import duckdb
+
+    from geodesk_gol_spark.gate_ml import sql_text_chunks
+
+    text = " ".join(words)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO t VALUES (1, ?)", [text])
+    got = sorted(
+        map(tuple, con.execute(
+            sql_text_chunks("t", "duck", win=win, step=step)
+        ).fetchall())
+    )
+
+    ws = text.split(" ")  # mirrors SQL: '' -> ['']
+    n = len(ws)
+    want = []
+    for i in range((n - 1) // step + 1):
+        sl = ws[i * step: i * step + win]
+        acc = 0
+        for w in sl:
+            acc = (acc * 31 + (len(w) * 31 + (ord(w[0]) if w else 0))) \
+                % 1000000007
+        want.append((1, i, min(win, n - i * step), acc))
+    assert got == sorted(want)
