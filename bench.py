@@ -237,15 +237,17 @@ def _tmp_base() -> str:
 
 
 def one_run(master: str, sf_dir: str, shuffle_partitions: int, replicate: int = 1,
-            build_only: bool = False, docs_path: str | None = None) -> dict:
+            build_only: bool = False, docs_path: str | None = None,
+            extra_conf: dict | None = None) -> dict:
     from geodesk_gol_spark.session import get_spark
 
     base = _tmp_base()
-    out_dir = f"{base}/gol_bench_{os.getpid()}_{master.replace('[', '_').rstrip(']')}"
+    safe = master.replace("[", "_").rstrip("]").replace("://", "_").replace(":", "_")
+    out_dir = f"{base}/gol_bench_{os.getpid()}_{safe}"
     shutil.rmtree(out_dir, ignore_errors=True)
     spark = get_spark(master, app_name="gol-bench",
                       shuffle_partitions=shuffle_partitions,
-                      extra={
+                      extra={**(extra_conf or {}),
                           "spark.local.dir": base,
                           # checkpoint/store bytes: trading bus bytes for
                           # CPU (zstd) helps single-socket scaling — CPU
@@ -301,6 +303,79 @@ def materialize_docs(sf_dir: str, replicate: int, path: str) -> None:
         spark.stop()
 
 
+SPARK_SBIN = os.environ.get("SPARK_GRAFT_SBIN", "/opt/spark/sbin")
+MASTER_URL = "spark://127.0.0.1:7077"
+
+
+def _wait_tcp(port: int, timeout_s: int = 30) -> None:
+    import socket
+
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        with socket.socket() as s:
+            s.settimeout(1)
+            try:
+                s.connect(("127.0.0.1", port))
+                return
+            except OSError:
+                time.sleep(0.5)
+    raise RuntimeError(f"port {port} not up after {timeout_s}s")
+
+
+def _cluster_down() -> None:
+    import glob
+    import subprocess
+
+    subprocess.run(["pkill", "-f", "deploy.worker.Worker"],
+                   capture_output=True)
+    subprocess.run(["pkill", "-f", "deploy.master.Master"],
+                   capture_output=True)
+    # spark-daemon.sh refuses to start over a stale pid file
+    for p in glob.glob("/tmp/spark-*.pid"):
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+    time.sleep(2)
+
+
+def _cluster_up(n_workers: int, per_core_mem: int, ctl_cores: str) -> None:
+    """Start a REAL standalone cluster on this host: one master (pinned
+    to the control cores, shared with the driver) and ``n_workers``
+    workers, each offering exactly 1 core and ``per_core_mem`` GiB, each
+    CPU-pinned to its own core i.  Executor JVMs (and their Python UDF
+    workers) inherit the worker's affinity — so "4N executors" really is
+    4× the JVMs on 4× the cores, with executor-to-executor shuffle over
+    the loopback network stack, not intra-JVM handoff."""
+    import subprocess
+
+    env = os.environ.copy()
+    env.setdefault("SPARK_HOME", "/opt/spark")
+    env["SPARK_LOG_DIR"] = "/tmp/spark-cluster-logs"
+    env["SPARK_MASTER_HOST"] = "127.0.0.1"
+    taskset = shutil.which("taskset")
+    ctl = [taskset, "-c", ctl_cores] if taskset else []
+    cmd = ctl + [f"{SPARK_SBIN}/start-master.sh", "--host", "127.0.0.1",
+                 "--port", "7077", "--webui-port", "8090"]
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    if r.returncode != 0:  # e.g. port lingering in TIME_WAIT — retry once
+        time.sleep(10)
+        r = subprocess.run(cmd, env=env, capture_output=True, text=True)
+        if r.returncode != 0:
+            raise RuntimeError(f"master start failed: {r.stdout} {r.stderr}")
+    _wait_tcp(7077)
+    for i in range(n_workers):
+        envw = env.copy()
+        envw["SPARK_IDENT_STRING"] = f"golw{i}"
+        envw["SPARK_WORKER_DIR"] = f"/tmp/spark-worker-{i}"
+        pin = [taskset, "-c", str(i)] if taskset else []
+        subprocess.run(
+            pin + [f"{SPARK_SBIN}/start-worker.sh", MASTER_URL,
+                   "-c", "1", "-m", f"{per_core_mem}g",
+                   "--port", str(42000 + i), "--webui-port", str(43000 + i)],
+            env=envw, check=True, capture_output=True)
+
+
 def main() -> None:
     sf_dir = _sf_dir()
     cpus = _cpus()
@@ -315,10 +390,162 @@ def main() -> None:
         # Varying partitions with N would confound task-count overhead
         # with parallelism.
         hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(_cpus())))
-        res = one_run(f"local[{n}]", sf_dir, 4 * hi, rep,
-                      build_only=True, docs_path=docs_path)
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]")
+        extra = None
+        if master.startswith("spark://"):
+            # standalone cluster: n executors × 1 core, each its own
+            # pinned JVM (started by --scaling-cluster); the driver only
+            # plans and collects control frames
+            mem = os.environ.get("SPARK_GRAFT_MEM_PER_CORE_GB", "3")
+            extra = {
+                "spark.cores.max": str(n),
+                "spark.executor.cores": "1",
+                "spark.executor.memory": f"{mem}g",
+                "spark.driver.host": "127.0.0.1",
+                "spark.executorEnv.PYTHONPATH":
+                    os.path.dirname(os.path.abspath(__file__)),
+                "spark.pyspark.python": sys.executable,
+            }
+        res = one_run(master, sf_dir, 4 * hi, rep,
+                      build_only=True, docs_path=docs_path, extra_conf=extra)
         print("RESULT " + json.dumps(res))
         return
+    if "--scaling-cluster" in sys.argv:
+        # THE north-rule measurement shape: N executors vs 4N executors,
+        # each executor its own pinned 1-core JVM under a real standalone
+        # master, shuffle over the network stack.  The single-shared-JVM
+        # term the thread-mode harness measures (~0.88: one GC, one
+        # driver thread, one code cache for all cores) does not exist
+        # here, exactly as it does not exist on a cluster.  What remains
+        # host-bound is the socket's memory bandwidth (DRAM-stream
+        # control: 0.896 at 1→4) — separate cluster nodes would add
+        # memory controllers with their executors.
+        import subprocess
+
+        lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
+        hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(4 * lo)))
+        rep = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "8"))
+        tries = int(os.environ.get("SPARK_GRAFT_SCALE_TRIES", "2"))
+        cooldown = int(os.environ.get("SPARK_GRAFT_SCALE_COOLDOWN", "20"))
+        max_steal = float(os.environ.get("SPARK_GRAFT_MAX_STEAL_PCT", "12"))
+        extra_budget = int(os.environ.get("SPARK_GRAFT_EXTRA_TRIES",
+                                          str(tries)))
+        per_core_mem = int(os.environ.get("SPARK_GRAFT_MEM_PER_CORE_GB", "3"))
+        ncpu = os.cpu_count() or 32
+        # driver + master share a FIXED set of control cores at BOTH
+        # levels (a cluster's driver node doesn't grow with executors)
+        ctl_cores = f"{ncpu - 4}-{ncpu - 1}"
+        docs_path = os.environ.get(
+            "SPARK_GRAFT_DOCS_PATH",
+            f"{_tmp_base()}/gol_scaling_docs_{os.getpid()}")
+        if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
+            materialize_docs(sf_dir, rep, docs_path)
+
+        def cpu_ticks(n_cores):
+            st = tot = 0
+            want = {f"cpu{i}" for i in range(n_cores)}
+            for ln in open("/proc/stat"):
+                f = ln.split()
+                if f and f[0] in want:
+                    st += int(f[8])
+                    tot += sum(int(x) for x in f[1:11])
+            return st, tot
+
+        taskset = shutil.which("taskset")
+        runs: dict[int, dict] = {}
+        try_log: list[dict] = []
+        queue = [n for _ in range(tries) for n in (lo, hi)]
+        while queue:
+            n = queue.pop(0)
+            _cluster_down()
+            time.sleep(cooldown)
+            _cluster_up(n, per_core_mem, ctl_cores)
+            st0, tot0 = cpu_ticks(n)
+            env = os.environ.copy()
+            env["SPARK_GRAFT_MASTER"] = MASTER_URL
+            env["SPARK_GRAFT_DRIVER_MEM"] = "4g"
+            env["SPARK_GRAFT_SCALE_HI"] = str(hi)
+            pin = [taskset, "-c", ctl_cores] if taskset else []
+            out = subprocess.run(
+                pin + [sys.executable, os.path.abspath(__file__), "--one",
+                       str(n), str(rep), docs_path],
+                capture_output=True, text=True, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            st1, tot1 = cpu_ticks(n)
+            _cluster_down()
+            steal_pct = round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 1)
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("RESULT ")]
+            if not line:
+                raise RuntimeError(
+                    f"cluster run n={n} failed: {out.stderr[-3000:]}")
+            r = json.loads(line[-1][len("RESULT "):])
+            tainted = steal_pct > max_steal
+            try_log.append({"n": n, "engine_sec": r["engine_sec"],
+                            "steal_pct": steal_pct, "tainted": tainted})
+            print(f"TRY {json.dumps(try_log[-1])}", flush=True)
+            if tainted and extra_budget > 0:
+                extra_budget -= 1
+                queue.append(n)
+                continue
+            if n not in runs or r["engine_sec"] < runs[n]["engine_sec"]:
+                runs[n] = r
+        if "SPARK_GRAFT_DOCS_PATH" not in os.environ:
+            shutil.rmtree(docs_path, ignore_errors=True)
+        for n in (lo, hi):
+            if n not in runs:
+                best = min((t for t in try_log if t["n"] == n),
+                           key=lambda t: t["engine_sec"])
+                runs[n] = {"engine_sec": best["engine_sec"],
+                           "features_per_sec": 0.0, "queries": {},
+                           "counts": {}, "_all_tainted": True}
+        thr_lo = runs[lo]["features_per_sec"]
+        thr_hi = runs[hi]["features_per_sec"]
+        eff = (thr_hi / thr_lo) / (hi / lo)
+        report = {
+            "mode": "standalone-cluster",
+            "sf_dir": sf_dir, "replicate": rep,
+            "n_executors_small": lo, "n_executors_large": hi,
+            "throughput_small_fps": thr_lo,
+            "throughput_large_fps": thr_hi,
+            "scaling_efficiency": round(eff, 3),
+            "runs": runs, "tries": try_log,
+        }
+        with open("BENCH_SCALING.md", "a") as f:
+            f.write(
+                f"\n## cluster scaling run "
+                f"{time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
+                f"- **REAL standalone cluster on this host**: {lo} vs "
+                f"{hi} executors, each executor a separate 1-core JVM "
+                f"pinned to its own core ({per_core_mem} GiB each), "
+                f"master + driver pinned to fixed control cores "
+                f"{ctl_cores} at both levels; shuffle crosses executor "
+                f"JVMs over loopback TCP.  Same pre-materialized input "
+                f"(`{sf_dir}` ×{rep}) and identical plan at both levels; "
+                f"min of {tries} interleaved steal-gated tries/level.\n"
+                f"- {lo} executor(s): {thr_lo} features-tiled+joined/sec "
+                f"(engine {runs[lo]['engine_sec']}s)\n"
+                f"- {hi} executors: {thr_hi} features-tiled+joined/sec "
+                f"(engine {runs[hi]['engine_sec']}s)\n"
+                f"- **scaling efficiency ({lo}→{hi} executors): "
+                f"{report['scaling_efficiency']}**\n"
+                f"- per-stage sec ({lo} → {hi} executors): "
+                + ", ".join(
+                    f"{k.removeprefix('q_')} {runs[lo]['queries'][k]}→"
+                    f"{runs[hi]['queries'].get(k, '?')}"
+                    for k in runs[lo].get("queries", {})
+                ) + "\n"
+                f"- tries (engine_sec @ steal%): "
+                + ", ".join(
+                    f"n={t['n']} {t['engine_sec']}s@{t['steal_pct']}%"
+                    + ("·STORM" if t["tainted"] else "")
+                    for t in try_log
+                ) + "\n"
+            )
+        print(json.dumps(report))
+        return
+
     if "--scaling" in sys.argv:
         # the north rule compares N vs 4N executors; WHICH N is ours to
         # pick (a real cluster comparison would pick node counts the job
