@@ -369,6 +369,29 @@ def _q_p_get_by_id(spark, sf):
     )
 
 
+def _q_p_members_of(spark, sf):
+    """Relation member navigation (XmlQueryPrinter.cpp:203-215): every
+    (parent relation, ordinal, member, role) row — customer relations
+    over order-ways plus nation/region super-relations."""
+    from geodesk_gol_spark.operators.info import members_of
+
+    c = ctx(spark, sf)
+    return members_of(c["feats"]["relations"])
+
+
+def _q_p_parents_of(spark, sf):
+    """Inverse navigation: direct parent relations of a deterministic
+    way subset (way id % 500 == 0)."""
+    from geodesk_gol_spark.operators.info import parents_of
+
+    c = ctx(spark, sf)
+    targets = (
+        c["feats"]["ways"].filter(F.col("id") % 500 == 0)
+        .select((F.col("id") * 4 + 1).alias("typed_id"))
+    )
+    return parents_of(c["feats"]["relations"], targets)
+
+
 def _q_s5_archive_manifest(spark, sf):
     """S5 manifest counts: per-tile row/ghost counts exactly as
     save_tiles records them (the checksum itself is xxhash64-based and
@@ -558,6 +581,54 @@ def _q_p3_polygon_ways(spark, sf):
     c = ctx(spark, sf)
     segs = way_segments(c["feats"]["ways"], c["points"])
     return polygon_intersect_ways(segs, _LPOLY).select(
+        (F.col("way_id") * 4 + 1).alias("typed_id")
+    )
+
+
+def _q_p3_polygon_crossing(spark, sf):
+    """GeoDesk 'crossing' filter: ways whose polyline properly crosses
+    the concave polygon's boundary (inside-only and outside-only ways
+    excluded)."""
+    from geodesk_gol_spark.query.spatial import (
+        polygon_crossing_ways,
+        way_segments,
+    )
+
+    c = ctx(spark, sf)
+    segs = way_segments(c["feats"]["ways"], c["points"])
+    return polygon_crossing_ways(segs, _LPOLY).select(
+        (F.col("way_id") * 4 + 1).alias("typed_id")
+    )
+
+
+_AROUND_R = 3_000_000
+
+
+def _q_p_around_point(spark, sf):
+    """GeoDesk 'around' filter: nodes within _AROUND_R world units of
+    the diamond centre (tile-pruned bbox + exact distance residual,
+    fully JVM-side)."""
+    from geodesk_gol_spark.query.spatial import around_filter
+
+    c = ctx(spark, sf)
+    nodes = c["store"].filter((F.col("ftype") == 0) & ~F.col("is_ghost"))
+    return (
+        around_filter(nodes, c["catalog"], *_DIAMOND_C, _AROUND_R)
+        .select("typed_id").distinct()
+    )
+
+
+def _q_p3_polygon_within(spark, sf):
+    """P3 strict containment: ways ENTIRELY inside the concave polygon
+    (GeoDesk 'within' predicate; companion of -a intersects)."""
+    from geodesk_gol_spark.query.spatial import (
+        polygon_within_ways,
+        way_segments,
+    )
+
+    c = ctx(spark, sf)
+    segs = way_segments(c["feats"]["ways"], c["points"])
+    return polygon_within_ways(segs, _LPOLY).select(
         (F.col("way_id") * 4 + 1).alias("typed_id")
     )
 
@@ -825,6 +896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_count_formats": _q_a7_count_formats,
         "o_info_summary": _q_o_info_summary,
         "p_get_by_id": _q_p_get_by_id,
+        "p_members_of": _q_p_members_of,
+        "p_parents_of": _q_p_parents_of,
         "p1_goql_highway_names": _q_p1_goql_highway_names,
         "p1_goql_union": _q_p1_goql_union,
         "p1_goql_valuelist_regex": _q_p1_goql_valuelist_regex,
@@ -835,6 +908,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p2_bbox_query": _q_p2_bbox_query,
         "p3_polygon_query": _q_p3_polygon_query,
         "p3_polygon_ways": _q_p3_polygon_ways,
+        "p3_polygon_within": _q_p3_polygon_within,
+        "p3_polygon_crossing": _q_p3_polygon_crossing,
+        "p_around_point": _q_p_around_point,
         "s8_osc_roundtrip": _q_s8_osc_roundtrip,
         "f7_area_ways": _q_f7_area_ways,
         "f8_closed_rings": _q_f8_closed_rings,
@@ -1003,6 +1079,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT r1.id * 4 + 2, h.tile_id, NULL
             FROM r1 JOIN r_homes h ON h.id = r1.id
         """,
+        "p_members_of": f"""
+            WITH m AS ({sqlgen.relation_members_select()}),
+                 s AS ({sqlgen.super_relation_members_select()})
+            SELECT rel_id * 4 + 2 AS parent_typed_id, seq AS ordinal,
+                   member_id * 4 + member_type AS member_typed_id,
+                   CASE WHEN seq = 0 THEN 'outer' ELSE 'inner' END AS role
+            FROM m
+            UNION ALL
+            SELECT rel_id * 4 + 2, seq, member_id * 4 + member_type,
+                   'subarea'
+            FROM s
+        """,
+        "p_parents_of": f"""
+            WITH m AS ({sqlgen.relation_members_select()})
+            SELECT member_id * 4 + 1 AS typed_id,
+                   rel_id * 4 + 2 AS parent_typed_id,
+                   CASE WHEN seq = 0 THEN 'outer' ELSE 'inner' END AS role,
+                   seq AS ordinal
+            FROM m WHERE member_id % 500 = 0
+        """,
         "s5_archive_manifest": _prefix(cell_tile=True, whomes=True,
                                        rhomes=True) + f""",
             ghosts AS (
@@ -1147,6 +1243,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT id * 4 AS typed_id FROM nodes
             WHERE abs(x - {_DIAMOND_C[0]}) + abs(y - {_DIAMOND_C[1]})
                   <= {_DIAMOND_R}
+        """,
+        "p3_polygon_crossing": f"""
+            WITH nodes AS ({sqlgen.nodes_select()}),
+            segs AS ({sqlgen.way_segments_select()})
+            SELECT DISTINCT way_id * 4 + 1 AS typed_id FROM segs
+            WHERE {sqlgen.seg_cross_poly_expr('x0', 'y0', 'x1', 'y1',
+                                              _LPOLY)}
+        """,
+        "p_around_point": f"""
+            WITH nodes AS ({sqlgen.nodes_select()})
+            SELECT id * 4 AS typed_id FROM nodes
+            WHERE (x - {_DIAMOND_C[0]}) * (x - {_DIAMOND_C[0]})
+                + (y - {_DIAMOND_C[1]}) * (y - {_DIAMOND_C[1]})
+                <= {_AROUND_R ** 2}
+        """,
+        "p3_polygon_within": f"""
+            WITH nodes AS ({sqlgen.nodes_select()}),
+            segs AS ({sqlgen.way_segments_select()}),
+            per AS (
+                SELECT way_id,
+                       max(CASE WHEN {sqlgen.seg_cross_poly_expr(
+                           'x0', 'y0', 'x1', 'y1', _LPOLY)}
+                           THEN 1 ELSE 0 END) AS any_cross,
+                       max(CASE WHEN {sqlgen.point_in_rects_expr(
+                           'x0', 'y0', [_LPOLY_RECT_A, _LPOLY_RECT_B])}
+                           THEN 1 ELSE 0 END) AS any_inside
+                FROM segs GROUP BY way_id)
+            SELECT way_id * 4 + 1 AS typed_id FROM per
+            WHERE any_cross = 0 AND any_inside = 1
         """,
         "f7_area_ways": f"""
             SELECT id AS way_id,

@@ -245,9 +245,10 @@ def one_run(master: str, sf_dir: str, shuffle_partitions: int, replicate: int = 
     safe = master.replace("[", "_").rstrip("]").replace("://", "_").replace(":", "_")
     out_dir = f"{base}/gol_bench_{os.getpid()}_{safe}"
     shutil.rmtree(out_dir, ignore_errors=True)
+    env_extra = json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}"))
     spark = get_spark(master, app_name="gol-bench",
                       shuffle_partitions=shuffle_partitions,
-                      extra={**(extra_conf or {}),
+                      extra={**(extra_conf or {}), **env_extra,
                           "spark.local.dir": base,
                           # checkpoint/store bytes: trading bus bytes for
                           # CPU (zstd) helps single-socket scaling — CPU
@@ -368,6 +369,14 @@ def _cluster_up(n_workers: int, per_core_mem: int, ctl_cores: str) -> None:
         envw = env.copy()
         envw["SPARK_IDENT_STRING"] = f"golw{i}"
         envw["SPARK_WORKER_DIR"] = f"/tmp/spark-worker-{i}"
+        # executor shuffle/spill dirs: tmpfs, one per worker.  Without
+        # this the workers default to /tmp on the REAL virtual disk and
+        # every executor serializes through one device queue — measured:
+        # compile stayed flat 86→88 s from 1→4 executors, assign 0.30
+        # efficiency, while the same stages scale 0.73+ with tmpfs
+        # local dirs.  (The driver-side spark.local.dir conf is
+        # ignored on a standalone cluster — the worker env wins.)
+        envw["SPARK_LOCAL_DIRS"] = f"{_tmp_base()}/spark-local-{i}"
         pin = [taskset, "-c", str(i)] if taskset else []
         subprocess.run(
             pin + [f"{SPARK_SBIN}/start-worker.sh", MASTER_URL,
@@ -401,6 +410,11 @@ def main() -> None:
                 "spark.cores.max": str(n),
                 "spark.executor.cores": "1",
                 "spark.executor.memory": f"{mem}g",
+                # 1-core executors: G1's concurrent GC threads compete
+                # with the single task core; SerialGC is the right
+                # collector at this shape (measured: engine 192s→165s
+                # at 4 executors, task-attributed GC 70s→49s)
+                "spark.executor.extraJavaOptions": "-XX:+UseSerialGC",
                 "spark.driver.host": "127.0.0.1",
                 "spark.executorEnv.PYTHONPATH":
                     os.path.dirname(os.path.abspath(__file__)),
@@ -525,9 +539,11 @@ def main() -> None:
                 f"(`{sf_dir}` ×{rep}) and identical plan at both levels; "
                 f"min of {tries} interleaved steal-gated tries/level.\n"
                 f"- {lo} executor(s): {thr_lo} features-tiled+joined/sec "
-                f"(engine {runs[lo]['engine_sec']}s)\n"
+                f"(engine {runs[lo]['engine_sec']}s; total-based "
+                f"{runs[lo].get('features_per_sec_total', '?')} f/s)\n"
                 f"- {hi} executors: {thr_hi} features-tiled+joined/sec "
-                f"(engine {runs[hi]['engine_sec']}s)\n"
+                f"(engine {runs[hi]['engine_sec']}s; total-based "
+                f"{runs[hi].get('features_per_sec_total', '?')} f/s)\n"
                 f"- **scaling efficiency ({lo}→{hi} executors): "
                 f"{report['scaling_efficiency']}**\n"
                 f"- per-stage sec ({lo} → {hi} executors): "

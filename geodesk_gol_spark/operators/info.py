@@ -45,6 +45,50 @@ def get_features(store: DataFrame, specs: list[str]) -> DataFrame:
     )
 
 
+def members_of(relations: DataFrame, role: str | None = None) -> DataFrame:
+    """Relation → member navigation: one row per (parent, member) in
+    member order, optionally filtered to one role.
+
+    The reference walks members with an iterator per relation (member
+    type/ref/role emission, src/gol/query/XmlQueryPrinter.cpp:203-215;
+    TRelation member storage, src/tile/model/TRelation.cpp).  Spark
+    shape: one ``posexplode`` over the members array — narrow (no
+    shuffle), ordinal preserved from array position, role filter pushed
+    below everything downstream.
+    """
+    m = relations.select(
+        (F.col("id") * 4 + 2).alias("parent_typed_id"),
+        F.posexplode("members").alias("ordinal", "m"),
+    ).select(
+        "parent_typed_id",
+        "ordinal",
+        (F.col("m.id") * 4 + F.col("m.t")).alias("member_typed_id"),
+        F.col("m.role").alias("role"),
+    )
+    if role is not None:
+        m = m.filter(F.col("role") == role)
+    return m
+
+
+def parents_of(relations: DataFrame, targets: DataFrame) -> DataFrame:
+    """Feature → parent-relation navigation (the inverse of
+    :func:`members_of`): direct parents of each target feature.
+
+    ``targets`` carries one ``typed_id`` column.  The member stream is
+    the big side; the target set joins as a broadcast semi-ish inner
+    join so the explode never shuffles — at 10^12 scale the exploded
+    members stay partition-local and only the (small) query set moves.
+    """
+    mem = members_of(relations)
+    t = targets.select(F.col("typed_id").alias("member_typed_id")).distinct()
+    return mem.join(F.broadcast(t), "member_typed_id").select(
+        F.col("member_typed_id").alias("typed_id"),
+        "parent_typed_id",
+        "role",
+        "ordinal",
+    )
+
+
 def store_info(store: DataFrame) -> DataFrame:
     """One summary row: distinct feature counts per type, ghost copies,
     populated tiles, and the world bbox of all home copies."""

@@ -160,50 +160,81 @@ def way_segments(ways: DataFrame, points: DataFrame) -> DataFrame:
     )
 
 
+def _closed_ring(poly_xy):
+    px = np.array([p[0] for p in poly_xy], dtype=np.float64)
+    py = np.array([p[1] for p in poly_xy], dtype=np.float64)
+    if px[0] != px[-1] or py[0] != py[-1]:
+        px = np.append(px, px[0])
+        py = np.append(py, py[0])
+    return px, py
+
+
+def _segment_polygon_arrays(px, py, ax, ay, bx, by):
+    """(crosses, start_inside) bool arrays for segments (a)-(b) vs the
+    closed ring (px, py).  Vectorized per polygon edge over the Arrow
+    batch — O(edges) numpy passes, no per-row Python.  Pass half-integer
+    polygon vertices so integer feature coordinates never produce
+    degenerate (collinear / on-vertex) configurations."""
+    cross = np.zeros(len(ax), dtype=bool)
+    inside = np.zeros(len(ax), dtype=bool)
+    for i in range(len(px) - 1):
+        qx0, qy0, qx1, qy1 = px[i], py[i], px[i + 1], py[i + 1]
+        ex, ey = qx1 - qx0, qy1 - qy0
+        # proper segment-segment crossing: opposite orientation signs
+        d1 = ex * (ay - qy0) - ey * (ax - qx0)
+        d2 = ex * (by - qy0) - ey * (bx - qx0)
+        d3 = (bx - ax) * (qy0 - ay) - (by - ay) * (qx0 - ax)
+        d4 = (bx - ax) * (qy1 - ay) - (by - ay) * (qx1 - ax)
+        cross |= (d1 * d2 < 0) & (d3 * d4 < 0)
+        # even-odd PIP of the segment start
+        hits = ((qy0 > ay) != (qy1 > ay)) & (
+            ax < (qx1 - qx0) * (ay - qy0) / (qy1 - qy0) + qx0
+        )
+        inside ^= hits
+    return cross, inside
+
+
 def segment_intersects_polygon_udf(poly_xy):
     """Pandas UDF: True where segment (x0,y0)-(x1,y1) crosses the polygon
     boundary or starts inside it (even-odd interior).
 
     Matches the reference's -a intersects semantics over line geometry
     (/root/reference/src/gol/util/PolygonParser.cpp:9-24, ring handling
-    :67-80): a way intersects iff any segment does.  Vectorized per
-    polygon edge over the Arrow batch — O(edges) numpy passes, no
-    per-row Python.  Pass half-integer polygon vertices so integer
-    feature coordinates never produce degenerate (collinear / on-vertex)
-    configurations.
+    :67-80): a way intersects iff any segment does.
     """
-    px = np.array([p[0] for p in poly_xy], dtype=np.float64)
-    py = np.array([p[1] for p in poly_xy], dtype=np.float64)
-    if px[0] != px[-1] or py[0] != py[-1]:
-        px = np.append(px, px[0])
-        py = np.append(py, py[0])
+    px, py = _closed_ring(poly_xy)
 
     @F.pandas_udf(BooleanType())
     def hit(x0: pd.Series, y0: pd.Series,
             x1: pd.Series, y1: pd.Series) -> pd.Series:
-        ax = x0.to_numpy(np.float64)
-        ay = y0.to_numpy(np.float64)
-        bx = x1.to_numpy(np.float64)
-        by = y1.to_numpy(np.float64)
-        out = np.zeros(len(ax), dtype=bool)
-        inside = np.zeros(len(ax), dtype=bool)
-        for i in range(len(px) - 1):
-            qx0, qy0, qx1, qy1 = px[i], py[i], px[i + 1], py[i + 1]
-            ex, ey = qx1 - qx0, qy1 - qy0
-            # proper segment-segment crossing: opposite orientation signs
-            d1 = ex * (ay - qy0) - ey * (ax - qx0)
-            d2 = ex * (by - qy0) - ey * (bx - qx0)
-            d3 = (bx - ax) * (qy0 - ay) - (by - ay) * (qx0 - ax)
-            d4 = (bx - ax) * (qy1 - ay) - (by - ay) * (qx1 - ax)
-            out |= (d1 * d2 < 0) & (d3 * d4 < 0)
-            # even-odd PIP of the segment start
-            crosses = ((qy0 > ay) != (qy1 > ay)) & (
-                ax < (qx1 - qx0) * (ay - qy0) / (qy1 - qy0) + qx0
-            )
-            inside ^= crosses
-        return pd.Series(out | inside)
+        cross, inside = _segment_polygon_arrays(
+            px, py,
+            x0.to_numpy(np.float64), y0.to_numpy(np.float64),
+            x1.to_numpy(np.float64), y1.to_numpy(np.float64))
+        return pd.Series(cross | inside)
 
     return hit
+
+
+def segment_polygon_flags_udf(poly_xy):
+    """Pandas UDF → int flags per segment: bit 1 = properly crosses the
+    polygon boundary, bit 2 = segment start strictly inside (even-odd).
+    The decomposed form of :func:`segment_intersects_polygon_udf` that
+    the ``within`` predicate aggregates per way."""
+    from pyspark.sql.types import IntegerType
+
+    px, py = _closed_ring(poly_xy)
+
+    @F.pandas_udf(IntegerType())
+    def flags(x0: pd.Series, y0: pd.Series,
+              x1: pd.Series, y1: pd.Series) -> pd.Series:
+        cross, inside = _segment_polygon_arrays(
+            px, py,
+            x0.to_numpy(np.float64), y0.to_numpy(np.float64),
+            x1.to_numpy(np.float64), y1.to_numpy(np.float64))
+        return pd.Series(cross.astype(np.int32) | (inside.astype(np.int32) << 1))
+
+    return flags
 
 
 def polygon_intersect_ways(segments: DataFrame, poly_xy) -> DataFrame:
@@ -229,6 +260,87 @@ def polygon_intersect_ways(segments: DataFrame, poly_xy) -> DataFrame:
         .select("way_id")
         .distinct()
     )
+
+
+def polygon_within_ways(segments: DataFrame, poly_xy) -> DataFrame:
+    """Way ids whose polyline lies ENTIRELY inside the polygon — the
+    ``within`` spatial predicate of the GeoDesk query API (the strict
+    companion of -a intersects, PolygonParser.cpp:9-24 semantics).
+
+    A connected polyline is within a simple polygon iff (1) no segment
+    properly crosses the boundary and (2) at least one vertex is inside:
+    with zero crossings all vertices sit on the same side, so one inside
+    vertex certifies them all.  The bbox pre-prune is sound under this
+    rule — a segment wholly outside the polygon's bbox can neither cross
+    nor start inside (contributes nothing), while a way that leaves the
+    polygon must cross on a segment that DOES overlap the bbox, and a
+    way with no surviving segment has no inside vertex.  One UDF pass
+    over surviving segments, one way-grain aggregate; partitions by way
+    at any scale.
+    """
+    minx = min(p[0] for p in poly_xy)
+    maxx = max(p[0] for p in poly_xy)
+    miny = min(p[1] for p in poly_xy)
+    maxy = max(p[1] for p in poly_xy)
+    pruned = segments.filter(
+        (F.greatest("x0", "x1") >= minx) & (F.least("x0", "x1") <= maxx)
+        & (F.greatest("y0", "y1") >= miny) & (F.least("y0", "y1") <= maxy)
+    )
+    flags = segment_polygon_flags_udf(poly_xy)
+    per_way = (
+        pruned.withColumn(
+            "pf", flags(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1")))
+        .groupBy("way_id")
+        .agg(
+            F.max(F.col("pf").bitwiseAND(F.lit(1))).alias("any_cross"),
+            F.max(F.shiftright(F.col("pf"), 1)).alias("any_inside"),
+        )
+    )
+    return per_way.filter(
+        (F.col("any_cross") == 0) & (F.col("any_inside") == 1)
+    ).select("way_id")
+
+
+def polygon_crossing_ways(segments: DataFrame, poly_xy) -> DataFrame:
+    """Way ids whose polyline PROPERLY CROSSES the polygon boundary —
+    the GeoDesk ``crossing`` filter (boundary contact only: a way
+    wholly inside or wholly outside does not cross).  Same pruned
+    segment stream and flags UDF as ``within``; only the aggregate
+    predicate differs."""
+    minx = min(p[0] for p in poly_xy)
+    maxx = max(p[0] for p in poly_xy)
+    miny = min(p[1] for p in poly_xy)
+    maxy = max(p[1] for p in poly_xy)
+    pruned = segments.filter(
+        (F.greatest("x0", "x1") >= minx) & (F.least("x0", "x1") <= maxx)
+        & (F.greatest("y0", "y1") >= miny) & (F.least("y0", "y1") <= maxy)
+    )
+    flags = segment_polygon_flags_udf(poly_xy)
+    return (
+        pruned.filter(
+            flags(F.col("x0"), F.col("y0"),
+                  F.col("x1"), F.col("y1")).bitwiseAND(F.lit(1)) == 1)
+        .select("way_id")
+        .distinct()
+    )
+
+
+def around_filter(
+    store: DataFrame, catalog: TileCatalog,
+    cx: int, cy: int, radius: int,
+) -> DataFrame:
+    """Features whose anchor point lies within ``radius`` world units of
+    (cx, cy) — the GeoDesk ``around`` / max-distance filter.  Tile
+    pruning via the circumscribing bbox, then the exact squared-distance
+    residual stays JVM-side (whole-stage codegen; no UDF)."""
+    pruned = bbox_filter(
+        store, catalog, cx - radius, cy - radius, cx + radius, cy + radius
+    )
+    dx = F.col("cx") - F.lit(cx)
+    dy = F.col("cy") - F.lit(cy)
+    # radius² as ONE long literal: an int32 lit × int32 lit overflows
+    # under ANSI semantics before promotion
+    return pruned.filter(dx * dx + dy * dy <= F.lit(radius * radius))
 
 
 # ---------------------------------------------------------------------------

@@ -551,6 +551,40 @@ def seg_rect_intersect_expr(
     )
 
 
+def seg_cross_poly_expr(x0: str, y0: str, x1: str, y1: str, poly) -> str:
+    """True iff segment (x0,y0)-(x1,y1) PROPERLY crosses any edge of the
+    closed polygon ring — the exact sign-test arithmetic of
+    ``query/spatial._segment_polygon_arrays`` re-expressed as shared SQL
+    (IEEE + - * only, so DuckDB and numpy agree bit-for-bit).  Pass
+    half-integer polygon vertices so integer feature coordinates never
+    produce a zero sign product."""
+    pts = list(poly)
+    if pts[0] != pts[-1]:
+        pts = pts + [pts[0]]
+    terms = []
+    for (qx0, qy0), (qx1, qy1) in zip(pts, pts[1:]):
+        ex, ey = qx1 - qx0, qy1 - qy0
+        d1 = f"({ex} * ({y0} - {qy0}) - {ey} * ({x0} - {qx0}))"
+        d2 = f"({ex} * ({y1} - {qy0}) - {ey} * ({x1} - {qx0}))"
+        d3 = (f"(({x1} - {x0}) * ({qy0} - {y0})"
+              f" - ({y1} - {y0}) * ({qx0} - {x0}))")
+        d4 = (f"(({x1} - {x0}) * ({qy1} - {y0})"
+              f" - ({y1} - {y0}) * ({qx1} - {x0}))")
+        terms.append(f"({d1} * {d2} < 0 AND {d3} * {d4} < 0)")
+    return "(" + " OR ".join(terms) + ")"
+
+
+def point_in_rects_expr(x: str, y: str, rects) -> str:
+    """True iff point (x, y) lies in the union of axis-aligned rects
+    [(rx0, ry0, rx1, ry1), …] — the oracle-side PIP for rectilinear test
+    polygons (half-integer bounds keep open/closed conventions moot)."""
+    terms = [
+        f"({x} > {rx0} AND {x} < {rx1} AND {y} > {ry0} AND {y} < {ry1})"
+        for rx0, ry0, rx1, ry1 in rects
+    ]
+    return "(" + " OR ".join(terms) + ")"
+
+
 def coord_str_expr(v100nd: str, precision: int = 7) -> str:
     """Exact decimal rendering of a 100-nanodegree int coordinate.
 

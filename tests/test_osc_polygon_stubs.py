@@ -160,3 +160,63 @@ def test_foreign_ref_stubs(spark):
         {"tile_id": 100, "ref_typed": 5, "member_typed": 44,
          "tip": 200, "tex": 0}
     ]
+
+
+# ---------------------------------------------------------------------------
+# within (strict containment) on the same L-shape
+# ---------------------------------------------------------------------------
+
+def test_polygon_within_ways(spark):
+    from geodesk_gol_spark.query.spatial import polygon_within_ways
+
+    segs = spark.createDataFrame(
+        [
+            # way 1: fully inside the foot of the L
+            (1, 0, 1.0, 1.0, 2.0, 2.0),
+            (1, 1, 2.0, 2.0, 3.0, 1.0),
+            # way 2: starts inside, exits through the left edge
+            (2, 0, 1.0, 1.0, -3.0, 1.0),
+            # way 3: fully outside
+            (3, 0, 20.0, 20.0, 30.0, 30.0),
+            # way 4: both endpoints inside limbs but cuts the concave
+            # notch (7,7)->(3,7) passes through x=5.5 edge above y=5.5
+            (4, 0, 7.0, 4.0, 7.0, 7.0),
+            # way 5: inside the upper limb only
+            (5, 0, 1.0, 7.0, 4.0, 9.0),
+        ],
+        "way_id long, seq int, x0 double, y0 double, x1 double, y1 double",
+    )
+    got = sorted(r["way_id"] for r in polygon_within_ways(segs, _L).collect())
+    assert got == [1, 5]
+
+
+def test_within_is_subset_of_intersects(spark):
+    from geodesk_gol_spark.query.spatial import (
+        polygon_intersect_ways,
+        polygon_within_ways,
+    )
+
+    segs = spark.createDataFrame(
+        [(i, 0, float(i), float(i % 7), float(i + 2), float((i * 3) % 11))
+         for i in range(-5, 15)],
+        "way_id long, seq int, x0 double, y0 double, x1 double, y1 double",
+    )
+    within = {r["way_id"] for r in polygon_within_ways(segs, _L).collect()}
+    inter = {r["way_id"] for r in polygon_intersect_ways(segs, _L).collect()}
+    assert within <= inter
+
+
+def test_polygon_crossing_ways(spark):
+    from geodesk_gol_spark.query.spatial import polygon_crossing_ways
+
+    segs = spark.createDataFrame(
+        [
+            (1, 0, 1.0, 1.0, 2.0, 2.0),      # fully inside: not crossing
+            (2, 0, 1.0, 1.0, -3.0, 1.0),     # exits left edge: crossing
+            (3, 0, 20.0, 20.0, 30.0, 30.0),  # fully outside: not crossing
+            (4, 0, 7.0, 7.0, 7.0, 3.0),      # notch into the foot: crossing
+        ],
+        "way_id long, seq int, x0 double, y0 double, x1 double, y1 double",
+    )
+    got = sorted(r["way_id"] for r in polygon_crossing_ways(segs, _L).collect())
+    assert got == [2, 4]
