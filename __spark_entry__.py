@@ -258,6 +258,45 @@ def _q_o9_check_store(spark, sf):
     return check_store(c["store"], c["catalog"], c["exports"], c["stubs"])
 
 
+def _q_f4_hilbert(spark, sf):
+    """F4 Hilbert distance with an exact-value oracle: d of every
+    occupied zoom-12 cell at curve order 16 (the within-tile clustering
+    key of O1/S4; reference curve use
+    src/tile/compiler/HilbertIndexBuilder.cpp:16-130).  The oracle
+    unrolls the same xy→d rotate-and-accumulate loop into 16 SQL CTE
+    steps (sqlgen.hilbert_ctes) — integer arithmetic both sides."""
+    from geodesk_gol_spark.functions.hilbert import hilbert_udf
+
+    c = ctx(spark, sf)
+    cells = c["proj"].select("cell_col", "cell_row").distinct()
+    return cells.select(
+        "cell_col", "cell_row",
+        hilbert_udf(F.col("cell_col"), F.col("cell_row")).alias("hilbert_d"),
+    )
+
+
+def _q_u1_archive_merge(spark, sf):
+    """U1/S6 archive merge: incoming tiles replace base tiles wholesale
+    (the reference's tile-granularity transaction, TesArchive apply).
+    Incoming = every zoom-9 tile re-saved without its ghost rows; the
+    merged per-tile manifest must show those tiles ghost-free and all
+    other tiles untouched.  An all-ghost zoom-9 tile contributes no
+    incoming rows, so the base tile survives — the oracle encodes the
+    same rule."""
+    from geodesk_gol_spark.operators.archive import merge_archives
+
+    c = ctx(spark, sf)
+    store = c["store"]
+    incoming = store.filter(
+        (F.floor(F.col("tile_id") / 16777216) == 9) & ~F.col("is_ghost")
+    )
+    merged = merge_archives(store, incoming)
+    return merged.groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("is_ghost").cast("long")).alias("n_ghosts"),
+    )
+
+
 def _q_o4_tile_order(spark, sf):
     from pyspark.sql import Window
 
@@ -888,6 +927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j7_exports": _q_j7_exports,
         "j8_foreign_refs": _q_j8_foreign_refs,
         "o4_tile_order": _q_o4_tile_order,
+        "f4_hilbert": _q_f4_hilbert,
+        "u1_archive_merge": _q_u1_archive_merge,
         "o9_check_store": _q_o9_check_store,
         "o9_check_corrupt": _q_o9_check_corrupt,
         "s5_archive_manifest": _q_s5_archive_manifest,
@@ -1307,6 +1348,25 @@ def oracle_sql() -> dict[str, str]:
     # SQL; the round-trip itself is certified engine-side by the
     # checksum verify inside load_tiles (raises on any drift).
     o["s6_archive_load"] = o["s5_archive_manifest"]
+    o["f4_hilbert"] = f"""
+        WITH nodes AS ({sqlgen.nodes_select()}),
+        cells AS (SELECT DISTINCT cell_col AS x, cell_row AS y FROM nodes),
+        {sqlgen.hilbert_ctes("cells", 16)}
+        SELECT CAST(cx AS INT) AS cell_col, CAST(cy AS INT) AS cell_row,
+               hd AS hilbert_d
+        FROM h16
+    """
+    o["u1_archive_merge"] = f"""
+        SELECT tile_id,
+               CAST(CASE WHEN floor(tile_id / 16777216) = 9
+                          AND n_rows > n_ghosts
+                    THEN n_rows - n_ghosts ELSE n_rows END AS BIGINT)
+                 AS n_rows,
+               CAST(CASE WHEN floor(tile_id / 16777216) = 9
+                          AND n_rows > n_ghosts
+                    THEN 0 ELSE n_ghosts END AS BIGINT) AS n_ghosts
+        FROM ({o["s5_archive_manifest"]})
+    """
     return o
 
 

@@ -574,6 +574,43 @@ def seg_cross_poly_expr(x0: str, y0: str, x1: str, y1: str, poly) -> str:
     return "(" + " OR ".join(terms) + ")"
 
 
+def hilbert_ctes(src_cte: str, order: int = 16) -> str:
+    """CTE chain computing the Hilbert distance of every (x, y) row in
+    ``src_cte`` — the oracle twin of ``functions.hilbert.hilbert_xy2d``
+    (reference curve use: src/tile/compiler/HilbertIndexBuilder.cpp:16-130).
+
+    The xy→d loop is unrolled into one CTE per bit level (``order``
+    steps), each rewriting integer state columns (hx, hy, hd) with the
+    same rotate-and-accumulate arithmetic the numpy UDF runs — integer
+    ops only, so DuckDB and Spark agree exactly.  The final CTE is
+    ``h{order}`` with columns (cx, cy, hd): original coords + distance.
+    """
+    parts = [
+        f"h0 AS (SELECT x AS cx, y AS cy, CAST(x AS BIGINT) AS hx, "
+        f"CAST(y AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM {src_cte})"
+    ]
+    for i in range(order):
+        s = 1 << (order - 1 - i)
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        new_d = f"hd + {s * s} * CAST(xor(3 * {rx}, {ry}) AS BIGINT)"
+        new_x = (
+            f"CASE WHEN {ry} = 0 THEN "
+            f"(CASE WHEN {rx} = 1 THEN {s - 1} - hy ELSE hy END) "
+            f"ELSE hx END"
+        )
+        new_y = (
+            f"CASE WHEN {ry} = 0 THEN "
+            f"(CASE WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END) "
+            f"ELSE hy END"
+        )
+        parts.append(
+            f"h{i + 1} AS (SELECT cx, cy, {new_x} AS hx, {new_y} AS hy, "
+            f"{new_d} AS hd FROM h{i})"
+        )
+    return ",\n".join(parts)
+
+
 def point_in_rects_expr(x: str, y: str, rects) -> str:
     """True iff point (x, y) lies in the union of axis-aligned rects
     [(rx0, ry0, rx1, ry1), …] — the oracle-side PIP for rectilinear test

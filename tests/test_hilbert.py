@@ -46,3 +46,28 @@ def test_bijective_and_unit_steps():
     sx, sy = xs[order_idx], ys[order_idx]
     steps = np.abs(np.diff(sx)) + np.abs(np.diff(sy))
     assert (steps == 1).all()
+
+
+def test_sql_ctes_match_numpy():
+    """The oracle-side unrolled SQL (sqlgen.hilbert_ctes) computes the
+    exact distances of the numpy UDF, including grid corners."""
+    import duckdb
+
+    from geodesk_gol_spark import sqlgen
+
+    rng = np.random.default_rng(11)
+    xs = rng.integers(0, 1 << 16, 300)
+    ys = rng.integers(0, 1 << 16, 300)
+    corners = [(0, 0), (65535, 65535), (0, 65535), (65535, 0)]
+    pts = list(zip(xs.tolist(), ys.tolist())) + corners
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pts AS SELECT * FROM (VALUES "
+        + ",".join(f"({x},{y})" for x, y in pts) + ") t(x, y)"
+    )
+    got = con.execute(
+        "WITH " + sqlgen.hilbert_ctes("pts", 16)
+        + " SELECT cx, cy, hd FROM h16"
+    ).df()
+    want = hilbert_xy2d(got.cx.to_numpy(), got.cy.to_numpy(), order=16)
+    assert (got.hd.to_numpy() == want).all()
