@@ -490,13 +490,18 @@ def knn_cell_rings(
     join of the north rule.
 
     Exactness guarantee: any point outside the ring block is at distance
-    > (ring-1)*cell from the query, so a query's ring result is final iff
-    it found k candidates AND its k-th distance ≤ ((ring-1)*cell)².
-    Unresolved queries ESCALATE to a 2× ring (bounded passes over an
-    ever-shrinking query set — never a cartesian product over the full
-    point set); only queries still open after ``escalations`` doublings
-    take the brute-force path, and that set is tiny by construction
-    (sparse-world queries with < k points within ~2^(bits+ring) units).
+    > the query's margin (distance to the nearest block edge), so a
+    query's ring result is final iff it found k candidates AND its k-th
+    distance ≤ margin².  Unresolved queries ESCALATE to an 8×-coarser
+    grid (same ring, cell edge ×8 per pass): the certified block — and
+    with it the margin — grows 8× per pass, while the candidate count
+    grows only with the query's LOCAL density, which is exactly what is
+    small around a query that failed the finer pass.  (Ring-doubling at
+    fixed bits was measured to certify ZERO extra queries at sf0.1: the
+    escapees sit in a 1e6-unit-spaced sparse band whose 5th neighbor is
+    ~dozens of base cells away — margin ×2 per pass never catches up.)
+    Only queries still open after ``escalations`` coarsenings take the
+    brute-force path, and that set is tiny by construction.
 
     ``cell_bits=None`` (default) sizes the grid from the corpus density
     (see auto_cell_bits) — one bounded stats aggregate.
@@ -504,28 +509,30 @@ def knn_cell_rings(
     if cell_bits is None:
         cell_bits = auto_cell_bits(points, k, ring)
     cell = 1 << cell_bits
-    pts = points.withColumn(
+    base = points.withColumn(
         "cc", F.floor(F.col("x") / cell).cast("int")
     ).withColumn("cr", F.floor(F.col("y") / cell).cast("int")).persist()
     remaining = queries
     parts: list[DataFrame] = []
-    r = ring
-    n_prev = None
-    for _ in range(escalations + 1):
-        ranked, sure = _ring_pass(pts, remaining, k, r, cell_bits)
+    for i in range(escalations + 1):
+        # coarsen 8× per pass: arithmetic shift of the persisted base
+        # cells == floor division (holds for negatives), so every pass
+        # is a narrow projection over ONE cached point scan
+        shift = 3 * i
+        pts = base if shift == 0 else base.withColumn(
+            "cc", F.shiftright("cc", shift)
+        ).withColumn("cr", F.shiftright("cr", shift))
+        ranked, sure = _ring_pass(pts, remaining, k, ring, cell_bits + shift)
         parts.append(ranked.join(sure, "q_id", "left_semi"))
         remaining = remaining.join(sure, "q_id", "left_anti").localCheckpoint()
         n_rem = remaining.count()  # tiny checkpointed control frame
         if n_rem == 0:
             remaining = None
             break
-        if n_prev is not None and n_rem == n_prev:
-            # the doubling certified nobody: the stragglers sit in
-            # regions so sparse that further exponential ring growth is
-            # hopeless — hand the (small, counted) residue to brute now
-            break
-        n_prev = n_rem
-        r *= 2
+        # NO early stall-break: with 8× coarsening a pass that certifies
+        # nobody is routinely followed by one that certifies everybody
+        # (measured at sf0.1: 106 → 106 → 0), and a wasted pass costs
+        # ~1/4 of the brute fallback it would trigger
     if remaining is not None:
         parts.append(knn_bruteforce(points, remaining, k))
     out = parts[0]
