@@ -145,3 +145,42 @@ def node_xml(nodes: DataFrame, precision: int = 7) -> DataFrame:
             F.lit('">'), tag_body, F.lit("</node>"),
         ).alias("line")
     )
+
+
+class InvalidFormatError(ValueError):
+    """Unknown -f format name (the reference exits 2 with an "invalid"
+    message, src/gol/QueryCommand.cpp:103-148; test protocol
+    test/test_query.py:66-69)."""
+
+
+def format_result(
+    nodes: DataFrame,
+    fmt: str,
+    keys: list[str] | None = None,
+    precision: int = 7,
+):
+    """-f dispatch over node-shaped frames (id, lon100nd, lat100nd, tags).
+
+    ``count`` returns an int; every other format returns a one-column
+    line DataFrame.  Unknown names raise :class:`InvalidFormatError`
+    before any job runs — mirroring the reference's argument validation.
+    """
+    fmt = fmt.lower()
+    if fmt == "count":
+        return count_result(nodes)
+    if fmt == "list":
+        if "ftype" not in nodes.columns:
+            nodes = nodes.withColumn("ftype", F.lit(0))
+        return id_list(nodes)
+    if fmt == "geojsonl":
+        return node_geojsonl(nodes, precision)
+    if fmt == "wkt":
+        return node_wkt(nodes, precision)
+    if fmt == "csv":
+        return node_csv(nodes, keys or [], precision)
+    if fmt == "xml":
+        return node_xml(nodes, precision)
+    raise InvalidFormatError(
+        f"invalid format: {fmt!r} (expected one of "
+        f"count, list, geojsonl, wkt, csv, xml)"
+    )

@@ -145,3 +145,25 @@ def test_load_tiles_from_http_url(spark, built, tmp_path):
             assert back.drop("tags").exceptAll(store.drop("tags")).count() == 0
         finally:
             httpd.shutdown()
+
+
+def test_format_dispatch_and_invalid(spark):
+    """-f dispatch parity with the reference's test matrix: every valid
+    name routes to its sink; an unknown name errors BEFORE any Spark
+    job (reference exits 2, test/test_query.py:66-69)."""
+    import pytest
+
+    from geodesk_gol_spark.query.formats import (InvalidFormatError,
+                                                 format_result)
+
+    nodes = spark.createDataFrame(
+        [(1, 100000000, 200000000, {"amenity": "cafe"})],
+        "id long, lon100nd long, lat100nd long, tags map<string,string>",
+    )
+    assert format_result(nodes, "count") == 1
+    for fmt in ("list", "geojsonl", "wkt", "xml"):
+        assert format_result(nodes, fmt).count() == 1
+    assert format_result(nodes, "csv", keys=["amenity"]).columns == [
+        "id", "lon", "lat", "amenity"]
+    with pytest.raises(InvalidFormatError, match="invalid"):
+        format_result(nodes, "bananas")
