@@ -124,26 +124,32 @@ def sql_dedup_ngram_jaccard(t: str, d: str, cap: int = 50) -> str:
 
 
 def sql_dedup_minhash(t: str, d: str, n_hash: int = 8, cap: int = 50) -> str:
-    seeds = " UNION ALL ".join(f"SELECT {i} AS seed" for i in range(n_hash))
-    h = hex2int("concat(CAST(seed AS STRING), ':', sh)", d)
+    # ONE md5 per shingle; the n_hash signature slots come from
+    # Carter-Wegman mixing ((h0 mod p)·a_i + b_i) mod p of that single
+    # 48-bit base hash (p = 2^31−1, a_i < 2^31 ⇒ products < 2^62: no
+    # int64 overflow in either engine, so Spark and DuckDB agree
+    # exactly).  The previous shape — md5(seed:shingle) per (shingle,
+    # seed) via a seeds cross join + pivot — cost 8× the hashing and an
+    # extra corpus-sized aggregate; this is the standard datasketch-
+    # style minhash and is what survives a 10^12-doc corpus.
+    P = 2147483647
+    mixers = [((2654435761 * (i + 1)) % P | 1, (2246822519 * (i + 3)) % P)
+              for i in range(n_hash)]
+    sig_cols = ", ".join(
+        f"min(((h0 % {P}) * {a} + {b}) % {P}) AS mh{i}"
+        for i, (a, b) in enumerate(mixers)
+    )
     bands = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, concat(CAST(mh{2*b} AS STRING), '_', "
         f"CAST(mh{2*b+1} AS STRING)) AS key FROM sigs"
         for b in range(n_hash // 2)
     )
-    sig_cols = ", ".join(
-        f"max(CASE WHEN seed = {i} THEN mh END) AS mh{i}" for i in range(n_hash)
-    )
     return f"""
     WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({shingles_from(t, d)})),
     common AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {cap}),
     sh2 AS (SELECT s.doc_id, s.sh FROM sh s JOIN common c ON c.sh = s.sh),
-    mh AS (
-      SELECT doc_id, seed, min({h}) AS mh
-      FROM sh2, ({seeds})
-      GROUP BY doc_id, seed
-    ),
-    sigs AS (SELECT doc_id, {sig_cols} FROM mh GROUP BY doc_id),
+    hashes AS (SELECT doc_id, {hex2int('sh', d)} AS h0 FROM sh2),
+    sigs AS (SELECT doc_id, {sig_cols} FROM hashes GROUP BY doc_id),
     bands AS ({bands}),
     cand AS (
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
