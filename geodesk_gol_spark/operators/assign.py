@@ -191,6 +191,19 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
     unresolved = simple_part.filter(F.col("n_resolved") == 0).select("rel_id")
 
     pending = supers
+    # Super-relations are rare by the reference's own design (the
+    # reference resolves them in a dedicated single-node pass,
+    # SuperRelationResolver.cpp:15-149).  Below this threshold the
+    # driver-side topological resolver (the cycle-break path, which
+    # handles the acyclic case as plain ready-set processing) beats the
+    # distributed level loop: each level pass costs a full job of fixed
+    # scheduler latency to move a handful of rows.  Above it — a corpus
+    # whose super-hierarchy IS big — the distributed passes keep the
+    # rel→rel frame off the driver.
+    import os as _os
+
+    j6_driver_max = int(_os.environ.get("SPARK_GRAFT_J6_DRIVER_MAX", "65536"))
+
     if n_pending:
         m_ext_sel = [F.col(c).alias(f"m_{c}") for c in _EXT_COLS]
         own = nonrel_agg.select(
@@ -222,7 +235,7 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
         # driver latency, the dominant serial term in the 4N profile)
         empties = unresolved  # rel_ids that resolved to nothing so far
         for _ in range(MAX_RELATION_LEVELS):
-            if n_pending == 0:
+            if n_pending == 0 or n_pending <= j6_driver_max:
                 break
             done = resolved_all.select(
                 F.col("rel_id").alias("member_rel"),

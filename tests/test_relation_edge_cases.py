@@ -132,3 +132,37 @@ def test_deep_chain_levels(spark, world):
     ext, _ = relation_extents(rels, points, wext)
     lv = {r.id: r.level for r in ext.collect()}
     assert lv == {910: 0, 911: 1, 912: 2, 913: 3}
+
+
+def test_driver_and_distributed_paths_agree(spark, world, monkeypatch):
+    """The small-super driver-side resolver (SPARK_GRAFT_J6_DRIVER_MAX)
+    and the distributed level loop are the same operator: identical
+    (id, level, n_resolved, extent, refcycle) on a mixed world of deep
+    chains, cycles, empty supers, and missing members."""
+    points, wext = world
+    rows = [
+        (920, [(1, 100, "w"), (1, 101, "w")], {}, "x", 0),
+        (921, [(2, 920, "a"), (0, 5, "n")], {}, "x", 1),
+        (922, [(2, 921, "a")], {}, "x", 2),
+        # cycle anchored by a real member
+        (930, [(2, 931, "a"), (1, 100, "w")], {}, "x", 3),
+        (931, [(2, 930, "a")], {}, "x", 4),
+        # super over an empty (all-missing) relation
+        (940, [(0, 88888, "missing")], {}, "x", 5),
+        (941, [(2, 940, "a"), (0, 3, "n")], {}, "x", 6),
+        # pure cycle: stays unresolved on both paths
+        (950, [(2, 951, "a")], {}, "x", 7),
+        (951, [(2, 950, "a")], {}, "x", 8),
+    ]
+    results = {}
+    for thr in ("0", "1000000"):
+        monkeypatch.setenv("SPARK_GRAFT_J6_DRIVER_MAX", thr)
+        rels = _rels(spark, rows)
+        ext, unresolved = relation_extents(rels, points, wext)
+        cols = ["id", "level", "n_members", "n_resolved", "refcycle",
+                "minc", "minr", "maxc", "maxr", "minx", "miny", "maxx", "maxy"]
+        results[thr] = (
+            sorted(tuple(r[c] for c in cols) for r in ext.select(*cols).collect()),
+            sorted(r.rel_id for r in unresolved.collect()),
+        )
+    assert results["0"] == results["1000000"]
