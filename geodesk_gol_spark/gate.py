@@ -102,28 +102,43 @@ def _materialize(spark: SparkSession, sf_dir: str) -> Path:
     from .sources.parser import parse_features_unified, split_features
 
     unified = w("features_unified", parse_features_unified(docs))
-    feats = {k: w(k, v) for k, v in split_features(unified).items()}
+
+    # independent leaf writes run as concurrent Spark jobs (latency = max,
+    # not sum); ordering between waves preserves persist-population order
+    # so concurrent siblings never race to compute the same upstream
+    from concurrent.futures import ThreadPoolExecutor
+
+    def wave(pairs: list[tuple[str, DataFrame]]) -> dict[str, DataFrame]:
+        with ThreadPoolExecutor(len(pairs)) as pool:
+            futs = {n: pool.submit(w, n, df) for n, df in pairs}
+            return {n: f.result() for n, f in futs.items()}
+
+    feats = wave(list(split_features(unified).items()))
     proj = w("proj", with_projection(feats["nodes"]))
     catalog = build_tile_catalog(proj, settings)
     asn = assign_features(feats, catalog)
-    for name in ("points", "node_tiles", "way_homes", "way_ghosts",
-                 "rel_homes", "extents", "feature_tiles",
-                 "unresolved_relations"):
+    # sequential: each write populates a persist the next frames reuse
+    for name in ("points", "node_tiles", "way_homes"):
         asn[name] = w(name, asn[name])
-    w("store", compile_feature_rows(
-        asn["feature_tiles"], asn["points"], asn["extents"],
-        feats["nodes"], feats["ways"], feats["relations"],
-    ))
-    w("exports", V.export_tables(
-        feats["ways"], feats["relations"],
-        asn["node_tiles"].select("typed_id", "tile_id"),
-        asn["way_homes"], asn["rel_homes"],
-    ))
-    w("stubs", V.foreign_ref_stubs(
-        feats["ways"], feats["relations"],
-        asn["node_tiles"].select("typed_id", "tile_id"),
-        asn["way_homes"], asn["rel_homes"],
-    ))
+    asn.update(wave([(n, asn[n]) for n in (
+        "way_ghosts", "rel_homes", "extents", "feature_tiles",
+        "unresolved_relations")]))
+    wave([
+        ("store", compile_feature_rows(
+            asn["feature_tiles"], asn["points"], asn["extents"],
+            feats["nodes"], feats["ways"], feats["relations"],
+        )),
+        ("exports", V.export_tables(
+            feats["ways"], feats["relations"],
+            asn["node_tiles"].select("typed_id", "tile_id"),
+            asn["way_homes"], asn["rel_homes"],
+        )),
+        ("stubs", V.foreign_ref_stubs(
+            feats["ways"], feats["relations"],
+            asn["node_tiles"].select("typed_id", "tile_id"),
+            asn["way_homes"], asn["rel_homes"],
+        )),
+    ])
     catalog.tiles.to_parquet(tmp / "catalog_tiles.parquet")
     spark.catalog.clearCache()
     if d.exists():  # lost a race with another builder — theirs is fine
