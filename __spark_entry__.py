@@ -470,6 +470,30 @@ def _q_s6_archive_load(spark, sf):
     )
 
 
+def _q_u3_save_subset(spark, sf):
+    """U3 tile-set intersection for save: ``gol save --bbox`` exports
+    only tiles intersecting the box (save_tiles' bbox arm →
+    tiles_for_bbox pruning).  Full save→load round-trip with checksums
+    ON, then per-tile manifest counts; the oracle recomputes the
+    surviving-tile geometry test independently
+    (src/gol/SaveCommand.cpp tile-set selection)."""
+    import pathlib
+
+    from geodesk_gol_spark.operators.archive import (MANIFEST, load_tiles,
+                                                     save_tiles)
+
+    c = ctx(spark, sf)
+    path = pathlib.Path("/root/repo/.gatecache/archive_sub_" +
+                        pathlib.Path(sf.rstrip("/")).name)
+    if not (path / MANIFEST).exists():
+        save_tiles(c["store"], c["catalog"], str(path), bbox=_BB)
+    rows = load_tiles(spark, str(path), verify=True)
+    return rows.groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("is_ghost").cast("long")).alias("n_ghosts"),
+    )
+
+
 def _q_p4_key_projection(spark, sf):
     """P4 -k key projection: csv-style (id, lon, lat, requested keys)."""
     from geodesk_gol_spark.query.formats import node_csv
@@ -935,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o9_check_corrupt": _q_o9_check_corrupt,
         "s5_archive_manifest": _q_s5_archive_manifest,
         "s6_archive_load": _q_s6_archive_load,
+        "u3_save_subset": _q_u3_save_subset,
         "p4_key_projection": _q_p4_key_projection,
         "a7_count_formats": _q_a7_count_formats,
         "o_info_summary": _q_o_info_summary,
@@ -1350,6 +1375,27 @@ def oracle_sql() -> dict[str, str]:
     # SQL; the round-trip itself is certified engine-side by the
     # checksum verify inside load_tiles (raises on any drift).
     o["s6_archive_load"] = o["s5_archive_manifest"]
+    # U3: same manifest counts restricted to tiles whose world-coordinate
+    # square intersects _BB — the oracle recomputes the tile geometry
+    # (span = 2^(31-zoom), corner = col·span) independently of
+    # tiles_for_bbox, so this row gates the pruning geometry itself.
+    _spanarms = " UNION ALL ".join(
+        [f"SELECT {sqlgen.tile_id_expr(z, 'c', 'r')} AS tile_id, "
+         f"CAST(c AS BIGINT) * {1 << (31 - z)} AS tx0, "
+         f"CAST(r AS BIGINT) * {1 << (31 - z)} AS ty0, "
+         f"CAST({1 << (31 - z)} AS BIGINT) AS span FROM s{z}"
+         for z in (12, 9, 6, 3)]
+        + ["SELECT 0 AS tile_id, CAST(0 AS BIGINT) AS tx0, "
+           "CAST(0 AS BIGINT) AS ty0, CAST(2147483648 AS BIGINT) AS span "
+           "FROM s0"]
+    )
+    o["u3_save_subset"] = o["s5_archive_manifest"].replace(
+        "FROM ft GROUP BY tile_id",
+        f"""FROM ft WHERE tile_id IN (
+              SELECT tile_id FROM ({_spanarms})
+              WHERE tx0 <= {_BB[2]} AND tx0 + span - 1 >= {_BB[0]}
+                AND ty0 <= {_BB[3]} AND ty0 + span - 1 >= {_BB[1]})
+            GROUP BY tile_id""")
     o["f4_hilbert"] = f"""
         WITH nodes AS ({sqlgen.nodes_select()}),
         cells AS (SELECT DISTINCT cell_col AS x, cell_row AS y FROM nodes),
