@@ -458,9 +458,16 @@ def _q_s6_archive_load(spark, sf):
     from geodesk_gol_spark.operators.archive import (MANIFEST, load_tiles,
                                                      save_tiles)
 
+    from geodesk_gol_spark.gate import _code_fingerprint
+
     c = ctx(spark, sf)
-    path = pathlib.Path("/root/repo/.gatecache/archive_" +
-                        pathlib.Path(sf.rstrip("/")).name)
+    # fingerprinted like the gate ctx cache: a code change that alters
+    # store contents must invalidate the memoized archive too, or the
+    # old (internally checksum-consistent) archive mismatches the
+    # freshly rebuilt oracle
+    path = pathlib.Path(
+        "/root/repo/.gatecache/archive_"
+        + pathlib.Path(sf.rstrip("/")).name + "-" + _code_fingerprint())
     if not (path / MANIFEST).exists():
         save_tiles(c["store"], c["catalog"], str(path))
     rows = load_tiles(spark, str(path), verify=True)
@@ -482,9 +489,12 @@ def _q_u3_save_subset(spark, sf):
     from geodesk_gol_spark.operators.archive import (MANIFEST, load_tiles,
                                                      save_tiles)
 
+    from geodesk_gol_spark.gate import _code_fingerprint
+
     c = ctx(spark, sf)
-    path = pathlib.Path("/root/repo/.gatecache/archive_sub_" +
-                        pathlib.Path(sf.rstrip("/")).name)
+    path = pathlib.Path(
+        "/root/repo/.gatecache/archive_sub_"
+        + pathlib.Path(sf.rstrip("/")).name + "-" + _code_fingerprint())
     if not (path / MANIFEST).exists():
         save_tiles(c["store"], c["catalog"], str(path), bbox=_BB)
     rows = load_tiles(spark, str(path), verify=True)

@@ -845,7 +845,7 @@ def sql_dedup_components_oracle(t: str) -> str:
     """
 
 
-_COMPONENTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_COMPONENTS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,7 +861,10 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the corpus.  The converged (localCheckpointed) labels memoize
     per session: corpus_dedup_filtered reuses them instead of re-running
     the whole propagation."""
-    key = (id(spark), sf_dir.rstrip("/"))
+    # keyed by applicationId (like _MATVIEW_CACHE), not id(spark): a
+    # recycled object address must not resurrect checkpoints of a
+    # stopped session
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     if key in _COMPONENTS_CACHE:
         return _COMPONENTS_CACHE[key]
     v = _view(spark, sf_dir, "documents")

@@ -237,23 +237,29 @@ def segment_polygon_flags_udf(poly_xy):
     return flags
 
 
-def polygon_intersect_ways(segments: DataFrame, poly_xy) -> DataFrame:
-    """Way ids whose polyline intersects a (possibly concave) polygon.
-
-    Segment-bbox vs polygon-bbox pre-prune stays JVM-side (whole-stage
-    codegen); only surviving segments reach the vectorized UDF; one
-    aggregate dedupes to way grain.  A way fully containing the polygon
-    without touching it does NOT intersect under line semantics (the
-    reference treats -a areas separately).
-    """
+def _prune_segments(segments: DataFrame, poly_xy) -> DataFrame:
+    """Segment-bbox vs polygon-bbox pre-prune, shared by the
+    intersects/within/crossing family.  Stays JVM-side (whole-stage
+    codegen); only survivors reach the vectorized UDFs."""
     minx = min(p[0] for p in poly_xy)
     maxx = max(p[0] for p in poly_xy)
     miny = min(p[1] for p in poly_xy)
     maxy = max(p[1] for p in poly_xy)
-    pruned = segments.filter(
+    return segments.filter(
         (F.greatest("x0", "x1") >= minx) & (F.least("x0", "x1") <= maxx)
         & (F.greatest("y0", "y1") >= miny) & (F.least("y0", "y1") <= maxy)
     )
+
+
+def polygon_intersect_ways(segments: DataFrame, poly_xy) -> DataFrame:
+    """Way ids whose polyline intersects a (possibly concave) polygon.
+
+    One UDF pass over bbox-pruned segments; one aggregate dedupes to way
+    grain.  A way fully containing the polygon without touching it does
+    NOT intersect under line semantics (the reference treats -a areas
+    separately).
+    """
+    pruned = _prune_segments(segments, poly_xy)
     hit = segment_intersects_polygon_udf(poly_xy)
     return (
         pruned.filter(hit(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1")))
@@ -278,14 +284,7 @@ def polygon_within_ways(segments: DataFrame, poly_xy) -> DataFrame:
     over surviving segments, one way-grain aggregate; partitions by way
     at any scale.
     """
-    minx = min(p[0] for p in poly_xy)
-    maxx = max(p[0] for p in poly_xy)
-    miny = min(p[1] for p in poly_xy)
-    maxy = max(p[1] for p in poly_xy)
-    pruned = segments.filter(
-        (F.greatest("x0", "x1") >= minx) & (F.least("x0", "x1") <= maxx)
-        & (F.greatest("y0", "y1") >= miny) & (F.least("y0", "y1") <= maxy)
-    )
+    pruned = _prune_segments(segments, poly_xy)
     flags = segment_polygon_flags_udf(poly_xy)
     per_way = (
         pruned.withColumn(
@@ -307,14 +306,7 @@ def polygon_crossing_ways(segments: DataFrame, poly_xy) -> DataFrame:
     wholly inside or wholly outside does not cross).  Same pruned
     segment stream and flags UDF as ``within``; only the aggregate
     predicate differs."""
-    minx = min(p[0] for p in poly_xy)
-    maxx = max(p[0] for p in poly_xy)
-    miny = min(p[1] for p in poly_xy)
-    maxy = max(p[1] for p in poly_xy)
-    pruned = segments.filter(
-        (F.greatest("x0", "x1") >= minx) & (F.least("x0", "x1") <= maxx)
-        & (F.greatest("y0", "y1") >= miny) & (F.least("y0", "y1") <= maxy)
-    )
+    pruned = _prune_segments(segments, poly_xy)
     flags = segment_polygon_flags_udf(poly_xy)
     return (
         pruned.filter(
@@ -393,9 +385,14 @@ def _ring_pass(pts: DataFrame, queries: DataFrame, k: int, ring: int,
     # corner; the exact margin averages ~ring+0.5 cells, certifying far
     # more queries per pass (measured at sf0.1: 202 → ~110 escapees
     # after pass 0, and it's what lets sparse-tail passes be skipped).
+    # qc/qr stay LONG: the edge products (qc + ring + 1) * cell reach
+    # past 2^31 for coordinates near the world's upper edge, and
+    # Spark 4's ANSI mode makes an int32 overflow a job-killing
+    # ArithmeticException, not a wrap (same promotion around_filter
+    # defends against)
     qm = (
-        queries.withColumn("qc", F.floor(F.col("qx") / cell).cast("int"))
-        .withColumn("qr", F.floor(F.col("qy") / cell).cast("int"))
+        queries.withColumn("qc", F.floor(F.col("qx") / cell))
+        .withColumn("qr", F.floor(F.col("qy") / cell))
         .withColumn(
             "margin",
             F.least(
@@ -426,18 +423,22 @@ def _ring_pass(pts: DataFrame, queries: DataFrame, k: int, ring: int,
     ranked = topk.select(
         "q_id", F.col("id").alias("neighbor_id"), "rank", "dist"
     )
-    # final iff k candidates found AND k-th distance within the margin
+    # caller owns topk's cache: unpersist once its pass is materialized
+    # final iff k candidates found AND k-th distance STRICTLY within the
+    # margin: a point on the ring-block boundary outside the block sits
+    # at exactly margin², and the brute oracle breaks that tie by id —
+    # certifying at <= could lock in a top-k that never saw it
     sure = (
         topk.groupBy("q_id")
         .agg(F.max("rank").alias("got"), F.max("dist").alias("kth"),
              F.first("margin").alias("m"))
-        .filter((F.col("got") == k) & (F.col("kth") <= F.col("m") * F.col("m")))
+        .filter((F.col("got") == k) & (F.col("kth") < F.col("m") * F.col("m")))
         .select("q_id")
     )
-    return ranked, sure
+    return ranked, sure, topk
 
 
-def auto_cell_bits(points: DataFrame, k: int, ring: int,
+def auto_cell_bits(points: DataFrame,
                    lo: int = 12, hi: int = 22,
                    ref_bits: int = 15, mu_target: float = 160.0) -> int:
     """Density-adaptive candidate-grid size.
@@ -490,9 +491,10 @@ def knn_cell_rings(
     join of the north rule.
 
     Exactness guarantee: any point outside the ring block is at distance
-    > the query's margin (distance to the nearest block edge), so a
+    >= the query's margin (distance to the nearest block edge), so a
     query's ring result is final iff it found k candidates AND its k-th
-    distance ≤ margin².  Unresolved queries ESCALATE to an 8×-coarser
+    distance is STRICTLY below margin² (boundary ties could lose to an
+    unseen point with a smaller id under the brute tiebreak).  Unresolved queries ESCALATE to an 8×-coarser
     grid (same ring, cell edge ×8 per pass): the certified block — and
     with it the margin — grows 8× per pass, while the candidate count
     grows only with the query's LOCAL density, which is exactly what is
@@ -507,7 +509,7 @@ def knn_cell_rings(
     (see auto_cell_bits) — one bounded stats aggregate.
     """
     if cell_bits is None:
-        cell_bits = auto_cell_bits(points, k, ring)
+        cell_bits = auto_cell_bits(points)
     cell = 1 << cell_bits
     base = points.withColumn(
         "cc", F.floor(F.col("x") / cell).cast("int")
@@ -522,9 +524,15 @@ def knn_cell_rings(
         pts = base if shift == 0 else base.withColumn(
             "cc", F.shiftright("cc", shift)
         ).withColumn("cr", F.shiftright("cr", shift))
-        ranked, sure = _ring_pass(pts, remaining, k, ring, cell_bits + shift)
-        parts.append(ranked.join(sure, "q_id", "left_semi"))
+        ranked, sure, topk = _ring_pass(pts, remaining, k, ring,
+                                        cell_bits + shift)
+        # eager localCheckpoint materializes this pass's certified rows
+        # (small: k per certified query) so the pass-local rank cache can
+        # be dropped immediately — a long-lived session running many kNN
+        # calls must not accumulate per-pass persists
+        parts.append(ranked.join(sure, "q_id", "left_semi").localCheckpoint())
         remaining = remaining.join(sure, "q_id", "left_anti").localCheckpoint()
+        topk.unpersist()
         n_rem = remaining.count()  # tiny checkpointed control frame
         if n_rem == 0:
             remaining = None
@@ -533,6 +541,7 @@ def knn_cell_rings(
         # nobody is routinely followed by one that certifies everybody
         # (measured at sf0.1: 106 → 106 → 0), and a wasted pass costs
         # ~1/4 of the brute fallback it would trigger
+    base.unpersist()
     if remaining is not None:
         parts.append(knn_bruteforce(points, remaining, k))
     out = parts[0]

@@ -44,3 +44,23 @@ def test_rings_no_duplicate_results(sparse):
         per_q.setdefault(r["q_id"], []).append(r["rank"])
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_rings_near_world_edge(spark):
+    """Coordinates in the top third of the 31-bit world: the ring-block
+    edge products exceed int32, which ANSI mode turns into a job-killing
+    overflow unless the margin arithmetic stays in long (and the coarse
+    escalation passes multiply the hazard 8x per pass)."""
+    top = (1 << 31) - 1
+    pts = [(i, top - 1000 - i * 37, top - 2000 - i * 53) for i in range(30)]
+    pts += [(200, 5, 7)]  # far corner so escalation has somewhere to look
+    points = spark.createDataFrame(pts, "id long, x long, y long")
+    qs = spark.createDataFrame(
+        [(0, top - 1500, top - 2500), (1, 10, 10)],
+        "q_id long, qx long, qy long",
+    )
+    want = {(r["q_id"], r["rank"]): r["neighbor_id"]
+            for r in knn_bruteforce(points, qs, 3).collect()}
+    got = {(r["q_id"], r["rank"]): r["neighbor_id"]
+           for r in knn_cell_rings(points, qs, 3, cell_bits=22).collect()}
+    assert got == want

@@ -30,9 +30,13 @@ def main() -> None:
     # prune stale fingerprints first (old code states, dead weight)
     root = gate._PKG.parent / ".gatecache"
     live = {gate._cache_dir(sf).name for sf in sfs} | {"osc"}
+    fp = gate._code_fingerprint()
     if root.exists():
         for p in root.iterdir():
-            if p.is_dir() and p.name not in live and not p.name.endswith(".tmp"):
+            # keep current-fingerprint dirs (incl. archive_* memos) and
+            # .tmp / .tmp.<pid> — another builder's in-flight staging
+            if (p.is_dir() and p.name not in live and fp not in p.name
+                    and not p.name.endswith(".tmp") and ".tmp." not in p.name):
                 shutil.rmtree(p)
                 print(f"pruned stale {p.name}")
     spark = get_spark("local[8]", app_name="gate-warm")
