@@ -516,6 +516,7 @@ def knn_cell_rings(
     ).withColumn("cr", F.floor(F.col("y") / cell).cast("int")).persist()
     remaining = queries
     parts: list[DataFrame] = []
+    topks: list[DataFrame] = []
     for i in range(escalations + 1):
         # coarsen 8× per pass: arithmetic shift of the persisted base
         # cells == floor division (holds for negatives), so every pass
@@ -526,13 +527,9 @@ def knn_cell_rings(
         ).withColumn("cr", F.shiftright("cr", shift))
         ranked, sure, topk = _ring_pass(pts, remaining, k, ring,
                                         cell_bits + shift)
-        # eager localCheckpoint materializes this pass's certified rows
-        # (small: k per certified query) so the pass-local rank cache can
-        # be dropped immediately — a long-lived session running many kNN
-        # calls must not accumulate per-pass persists
-        parts.append(ranked.join(sure, "q_id", "left_semi").localCheckpoint())
+        parts.append(ranked.join(sure, "q_id", "left_semi"))
+        topks.append(topk)
         remaining = remaining.join(sure, "q_id", "left_anti").localCheckpoint()
-        topk.unpersist()
         n_rem = remaining.count()  # tiny checkpointed control frame
         if n_rem == 0:
             remaining = None
@@ -541,10 +538,18 @@ def knn_cell_rings(
         # nobody is routinely followed by one that certifies everybody
         # (measured at sf0.1: 106 → 106 → 0), and a wasted pass costs
         # ~1/4 of the brute fallback it would trigger
-    base.unpersist()
     if remaining is not None:
         parts.append(knn_bruteforce(points, remaining, k))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    # ONE eager localCheckpoint of the final (small: k rows per query)
+    # result reuses every pass's still-cached rank frame, then releases
+    # all of them — a long-lived session running many kNN calls must not
+    # accumulate per-pass persists, and per-pass eager materialization
+    # was measured to cost 1.5-2× the whole query
+    out = out.localCheckpoint()
+    base.unpersist()
+    for t in topks:
+        t.unpersist()
     return out
