@@ -56,9 +56,21 @@ def _code_fingerprint() -> str:
     return h.hexdigest()[:12]
 
 
+def _data_fingerprint(sf_dir: str) -> str:
+    """Cheap input-identity hash: absolute path + (name, size, mtime) of
+    every base parquet.  Regenerated-in-place testdata or two different
+    trees sharing a basename must not reuse each other's context."""
+    h = hashlib.sha256(str(Path(sf_dir).resolve()).encode())
+    for p in sorted(Path(sf_dir).glob("*.parquet")):
+        st = p.stat()
+        h.update(f"{p.name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:8]
+
+
 def _cache_dir(sf_dir: str) -> Path:
     name = Path(sf_dir.rstrip("/")).name or "sf"
-    return _PKG.parent / ".gatecache" / f"{name}-{_code_fingerprint()}"
+    return (_PKG.parent / ".gatecache"
+            / f"{name}-{_code_fingerprint()}-{_data_fingerprint(sf_dir)}")
 
 
 def _materialize(spark: SparkSession, sf_dir: str) -> Path:
@@ -118,10 +130,12 @@ def _materialize(spark: SparkSession, sf_dir: str) -> Path:
     catalog = build_tile_catalog(proj, settings)
     asn = assign_features(feats, catalog)
     # sequential: each write populates a persist the next frames reuse
-    for name in ("points", "node_tiles", "way_homes"):
+    # (extents materializes the wext and rel_ext persists the wave's
+    # rel_homes/feature_tiles siblings would otherwise race to compute)
+    for name in ("points", "node_tiles", "way_homes", "extents"):
         asn[name] = w(name, asn[name])
     asn.update(wave([(n, asn[n]) for n in (
-        "way_ghosts", "rel_homes", "extents", "feature_tiles",
+        "way_ghosts", "rel_homes", "feature_tiles",
         "unresolved_relations")]))
     wave([
         ("store", compile_feature_rows(
@@ -141,12 +155,15 @@ def _materialize(spark: SparkSession, sf_dir: str) -> Path:
     ])
     catalog.tiles.to_parquet(tmp / "catalog_tiles.parquet")
     spark.catalog.clearCache()
-    if d.exists():  # lost a race with another builder — theirs is fine
+    # atomic publish: rename may race another builder finishing first —
+    # a bare exists() check is not enough (both can pass it before either
+    # renames); losing the race means theirs is fine, discard ours
+    try:
+        tmp.rename(d)
+    except OSError:
         import shutil
 
-        shutil.rmtree(tmp)
-    else:
-        tmp.rename(d)
+        shutil.rmtree(tmp, ignore_errors=True)
     return d
 
 

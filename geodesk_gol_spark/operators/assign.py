@@ -189,6 +189,15 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
         simple_part.filter(F.col("n_resolved") > 0).select(*out_cols).persist()
     )
     unresolved = simple_part.filter(F.col("n_resolved") == 0).select("rel_id")
+    # relations with ZERO member rows after the self-ref drop (empty
+    # members array, or only self-references) have no row in rm at all —
+    # explode drops them — yet they are exactly 'relations with no
+    # resolvable member': surface them in unresolved instead of silently
+    # vanishing from every output
+    unresolved = unresolved.unionByName(
+        relations.select(F.col("id").alias("rel_id"))
+        .join(rm.select("rel_id").distinct(), "rel_id", "left_anti")
+    )
 
     pending = supers
     # Super-relations are rare by the reference's own design (the
@@ -296,9 +305,13 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
             n_new = new.count()  # metadata-cheap: new is checkpointed
             if n_new == 0:
                 break  # cycle residue — handled below
+            # no per-level persist: the union concatenates frames that
+            # are already checkpointed (new) or persisted (simple_part),
+            # so caching every union-prefix would only pin one extra
+            # copy of the same rows per level
             resolved_all = resolved_all.unionByName(
                 new.filter(F.col("minc").isNotNull()).select(*out_cols)
-            ).persist()
+            )
             # supers whose transitive member set resolved to nothing
             new_empty = new.filter(F.col("minc").isNull()).select("rel_id")
             unresolved = unresolved.unionByName(new_empty)
@@ -335,6 +348,16 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
                 "rel_id",
             ).toPandas()
             own_pdf = nonrel_agg.join(pending, "rel_id").toPandas()
+            # exact node/way member counts (self-refs already dropped
+            # from rm): n_members - len(by_super) would miscount dropped
+            # self-refs as node/way members and drift as edges are
+            # removed below
+            nonrel_counts = {
+                int(r.rel_id): int(r.n_nonrel)
+                for r in nonrel.groupBy("rel_id")
+                .agg(F.count(F.lit(1)).alias("n_nonrel"))
+                .join(pending, "rel_id").toPandas().itertuples()
+            }
             mem_ext = {
                 int(r.rel_id): (
                     [r.minc, r.minr, r.maxc, r.maxr,
@@ -374,7 +397,7 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
 
             def _score(s: int) -> float:
                 tags = pend_tags.get(s, {})
-                nonrel = max(0, drv[s]["n_members"] - len(by_super[s]))
+                nonrel = nonrel_counts.get(s, 0)
                 score = 1_000_000_000.0 if nonrel == 0 else float(nonrel)
                 t = tags.get("type")
                 if t == "network":
@@ -392,13 +415,17 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
             cyc_resolved: dict[int, tuple] = {}
             lost_edge: set[int] = set()
             still = set(by_super)
+            # scores are a function of the INPUT member composition
+            # (reference scores each relation once); freeze them before
+            # edge removal mutates by_super
+            scores = {s: _score(s) for s in by_super}
             while still:
                 ready = sorted(
                     s for s in still
                     if not any(m in still for m in by_super[s])
                 )
                 if not ready:
-                    loser = min(still, key=lambda s: (_score(s), s))
+                    loser = min(still, key=lambda s: (scores[s], s))
                     victim = min(m for m in by_super[loser] if m in still)
                     by_super[loser].remove(victim)
                     lost_edge.add(loser)

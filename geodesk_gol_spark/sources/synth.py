@@ -43,7 +43,25 @@ SPAN_SCHEMA = (
 )
 
 
-REPLICATE_OFFSET = 1 << 24  # orderkey stride per replica
+# Replicated node ids flow through a Knuth-multiply tag hash
+# (id · 2654435761 under ANSI), so the largest node id
+# (orderkey·8 + linenumber) must stay below 2^63 / 2654435761.
+_MAX_NODE_ID = (1 << 63) // 2654435761
+
+
+def _replicate_offset(max_orderkey: int, replicate: int) -> int:
+    """Orderkey stride per replica: the next power of two above the
+    base's actual max orderkey (a fixed stride silently collides once
+    sf grows past it — same doc_id/node ids, merged spans)."""
+    off = 1 << int(max_orderkey).bit_length()
+    top = (max_orderkey + (replicate - 1) * off) * 8 + 7
+    if top > _MAX_NODE_ID:
+        raise ValueError(
+            f"replicate={replicate} over max orderkey {max_orderkey} "
+            f"would push node ids past the tag-hash overflow bound "
+            f"({top} > {_MAX_NODE_ID}); use a smaller base or fewer "
+            f"replicas")
+    return off
 
 
 def load_base(
@@ -56,8 +74,10 @@ def load_base(
     names = ["lineitem", "orders", "customer", "nation", "region"]
     base = {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
     if replicate > 1:
+        mx = base["orders"].agg(F.max("o_orderkey")).collect()[0][0]
         reps = spark.range(replicate).select(
-            (F.col("id") * REPLICATE_OFFSET).alias("_off")
+            (F.col("id") * _replicate_offset(int(mx), replicate))
+            .alias("_off")
         )
         # repartition the small base BEFORE the broadcast expansion:
         # otherwise map parallelism is capped at the handful of parquet

@@ -166,3 +166,21 @@ def test_driver_and_distributed_paths_agree(spark, world, monkeypatch):
             sorted(r.rel_id for r in unresolved.collect()),
         )
     assert results["0"] == results["1000000"]
+
+
+def test_empty_and_selfref_only_relations_are_unresolved(spark, world):
+    """A relation with an empty members array, or whose only member is
+    itself, has no row after explode + self-ref drop — it must surface
+    in ``unresolved`` (no resolvable member), not silently vanish."""
+    points, wext = world
+    rels = _rels(
+        spark,
+        [
+            (960, [], {}, "x", 0),
+            (961, [(2, 961, "self")], {}, "x", 1),
+            (962, [(1, 100, "w")], {}, "x", 2),  # control: resolves
+        ],
+    )
+    ext, unresolved = relation_extents(rels, points, wext)
+    assert sorted(r.rel_id for r in unresolved.collect()) == [960, 961]
+    assert [r.id for r in ext.collect()] == [962]
