@@ -28,12 +28,22 @@ MANIFEST = "manifest.json"
 
 
 def _tile_checksums(rows: DataFrame) -> dict[int, dict]:
+    # hash EVERY column (maps/arrays via canonical JSON — parquet
+    # round-trips preserve entry order, so save and verify agree): a
+    # checksum over ids alone would pass verify with corrupted tags or
+    # coordinates
+    cols = []
+    for f in rows.schema.fields:
+        if f.dataType.typeName() in ("map", "array", "struct"):
+            cols.append(f"to_json({f.name})")
+        else:
+            cols.append(f.name)
     sums = (
         rows.groupBy("tile_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
             # order-insensitive 64-bit content checksum (xor: no overflow)
-            F.expr("bit_xor(xxhash64(typed_id, is_ghost, twin))").alias("sum_hash"),
+            F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("sum_hash"),
         )
         .collect()
     )
@@ -49,7 +59,15 @@ def save_tiles(
     path: str,
     bbox: tuple[int, int, int, int] | None = None,
 ) -> dict:
-    """S5: export tiles (all, or those intersecting ``bbox`` — U3)."""
+    """S5: export tiles (all, or those intersecting ``bbox`` — U3).
+
+    The manifest is written with driver-local file I/O, so ``path`` must
+    be a locally mounted filesystem (fail fast before the expensive
+    parquet write, not after)."""
+    if "://" in path:
+        raise NotImplementedError(
+            f"save_tiles writes its manifest with local file I/O; "
+            f"mount the target or pass a local path (got {path!r})")
     if bbox is not None:
         hit, _ = tiles_for_bbox(catalog, *bbox)
         sel = store.filter(F.col("tile_id").isin(hit))

@@ -76,18 +76,20 @@ def compile_feature_rows(
         F.col("x").alias("minx"), F.col("y").alias("miny"),
         F.col("x").alias("maxx"), F.col("y").alias("maxy"),
     ).withColumn("is_area", F.lit(False))
+    # union way+relation payloads BEFORE the extent join: the extents
+    # frame (every way+relation bbox) is corpus-sized, so joining it once
+    # halves that join's shuffle I/O vs one join per type
     ext_by_id = extents.select("typed_id", "minx", "miny", "maxx", "maxy")
-    way_desc = ways.select(
+    wr_desc = ways.select(
         (F.col("id") * 4 + 1).alias("typed_id"), "tags", "doc_id", "span_seq",
         nulli.alias("lon100nd"), nulli.alias("lat100nd"),
         way_is_area().alias("is_area"),
-    ).join(ext_by_id, "typed_id")
-    rel_desc = relations.select(
+    ).unionByName(relations.select(
         (F.col("id") * 4 + 2).alias("typed_id"), "tags", "doc_id", "span_seq",
         nulli.alias("lon100nd"), nulli.alias("lat100nd"),
         relation_is_area().alias("is_area"),
-    ).join(ext_by_id, "typed_id")
-    desc = node_desc.unionByName(way_desc).unionByName(rel_desc)
+    )).join(ext_by_id, "typed_id")
+    desc = node_desc.unionByName(wr_desc)
 
     rows = (
         feature_tiles.join(desc, "typed_id")

@@ -22,7 +22,17 @@ TYPE_LETTER = {0: "n", 1: "w", 2: "r"}
 
 
 def coord_str(col: str, precision: int = 7) -> Column:
-    return F.expr(sqlgen.coord_str_expr(col, precision))
+    """Coordinate text at ``precision`` decimals (reference -p 0..15).
+
+    100-nanodegree units carry 7 real decimals; higher precisions pad
+    exact zeros (feeding precision > 7 into the shared SQL generator
+    would interpolate a fractional scale and break the expression)."""
+    if not 0 <= precision <= 15:
+        raise ValueError(f"precision must be 0..15, got {precision}")
+    base = F.expr(sqlgen.coord_str_expr(col, min(precision, 7)))
+    if precision > 7:
+        base = F.concat(base, F.lit("0" * (precision - 7)))
+    return base
 
 
 def _type_letter_col() -> Column:
@@ -88,14 +98,20 @@ def way_wkt(
 ) -> DataFrame:
     """LINESTRING/POLYGON per way from ordered member coordinates.
 
+    POLYGON only for ways the area classifier accepts (closed ring AND
+    area tags, functions/areas.way_is_area) — a closed
+    junction=roundabout is a linear feature in the reference's printer
+    and in this repo's own compiled is_area flag.
+
     Spark shape: explode node list with position, join node coords,
     re-sort inside the array (collect_list order is shuffle-dependent —
     array_sort on (seq, text) restores the span order invariant).
     """
+    from ..functions.areas import way_is_area
+
     wm = ways.select(
         "id",
-        F.expr("element_at(node_ids, 1) = element_at(node_ids, -1) "
-               "AND size(node_ids) >= 4").alias("closed"),
+        way_is_area().alias("as_area"),
         F.posexplode("node_ids").alias("seq", "node_id"),
     )
     coords = nodes.select(
@@ -107,14 +123,14 @@ def way_wkt(
     )
     per_way = (
         wm.join(coords, "node_id")
-        .groupBy("id", "closed")
+        .groupBy("id", "as_area")
         .agg(F.array_sort(F.collect_list(F.struct("seq", "pt"))).alias("pts"))
         .withColumn("body", F.array_join(F.expr("transform(pts, p -> p.pt)"), ", "))
     )
     return per_way.select(
         "id",
         F.when(
-            F.col("closed"), F.concat(F.lit("POLYGON (("), F.col("body"), F.lit("))"))
+            F.col("as_area"), F.concat(F.lit("POLYGON (("), F.col("body"), F.lit("))"))
         )
         .otherwise(F.concat(F.lit("LINESTRING ("), F.col("body"), F.lit(")")))
         .alias("wkt"),
@@ -131,11 +147,19 @@ def node_csv(nodes: DataFrame, keys: list[str], precision: int = 7) -> DataFrame
     return nodes.select(*cols)
 
 
+_XML_ESC = ("replace(replace(replace(replace({0}, '&', '&amp;'), "
+            "'<', '&lt;'), '>', '&gt;'), '\"', '&quot;')")
+
+
 def node_xml(nodes: DataFrame, precision: int = 7) -> DataFrame:
-    """OSM-XML-style <node> elements (S7 xml sink)."""
+    """OSM-XML-style <node> elements (S7 xml sink).  Tag keys/values are
+    XML-escaped (&, <, >, \") — name="Bar & Grill" must stay parseable,
+    as the reference's OSM-XML printer guarantees."""
     tag_body = F.expr(
         "array_join(transform(map_entries(tags), "
-        "e -> concat('<tag k=\"', e.key, '\" v=\"', e.value, '\"/>')), '')"
+        "e -> concat('<tag k=\"', " + _XML_ESC.format("e.key")
+        + ", '\" v=\"', " + _XML_ESC.format("e.value")
+        + ", '\"/>')), '')"
     )
     return nodes.select(
         F.concat(

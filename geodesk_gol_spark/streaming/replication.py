@@ -199,13 +199,16 @@ def replicate(
     store_rows: DataFrame,
     local_revision: int,
     spool_dir: str,
+    catalog=None,
 ) -> tuple[DataFrame, ReplicationState]:
     """``gol update <url>`` analogue: fetch server head state, walk the
     sequence from ``local_revision + 1`` to head strictly in order, and
     apply all diffs as one ordered merge.  Returns (merged store rows,
     server head state); if the store is current, returns it unchanged
-    (ChangeIngester.cpp:24-119 NO_UPDATES path)."""
-    from .update import merge_changes
+    (ChangeIngester.cpp:24-119 NO_UPDATES path).  Pass the store's
+    ``catalog`` so created nodes get a tile assignment (without it,
+    inserts null-fill tile_id and tile-pruned consumers skip them)."""
+    from .update import assign_created_nodes, merge_changes
 
     head = fetch_state(base_url)
     if local_revision >= head.revision:
@@ -214,6 +217,8 @@ def replicate(
     changes = parse_spool(spark, spool_dir).filter(
         F.col("revision") > local_revision
     )
+    if catalog is not None and "tile_id" in store_rows.columns:
+        changes = assign_created_nodes(changes, catalog)
     return merge_changes(store_rows, changes), head
 
 

@@ -120,7 +120,8 @@ def sessionize_stream(events: DataFrame,
     prepared = events.select(
         "user_id", "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
-    )
+    ).filter(F.col("t").isNotNull())  # a null/uncastable ts would reach
+    # _fold_sessions as NaN and kill the micro-batch at int(t)
     return prepared.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=SESSION_SCHEMA,

@@ -70,16 +70,23 @@ def merge_changes(store_rows: DataFrame, changes: DataFrame) -> DataFrame:
     upserts = latest.filter(F.col("op") != "delete")
 
     surviving = store_rows.join(deletes, "typed_id", "left_anti")
-    modified = (
-        surviving
-        .join(
-            upserts.select("typed_id", F.col("tags").alias("_new_tags")),
-            "typed_id",
-            "left",
-        )
-        .withColumn("tags", F.coalesce(F.col("_new_tags"), F.col("tags")))
-        .drop("_new_tags")
+    # a modify replaces EVERY payload column the store carries and the
+    # change provides (tags, coordinates, node_ids, members, tile_id …):
+    # the dominant OSM change is a node move, which the reference's
+    # revision-ordered apply propagates — not just a tag edit
+    payload = [c for c in upserts.columns
+               if c not in ("typed_id", "op", "revision", "change_seq")
+               and c in store_rows.columns]
+    modified = surviving.join(
+        upserts.select(
+            "typed_id", *[F.col(c).alias(f"_new_{c}") for c in payload]),
+        "typed_id",
+        "left",
     )
+    for c in payload:
+        modified = modified.withColumn(
+            c, F.coalesce(F.col(f"_new_{c}"), F.col(c)))
+    modified = modified.drop(*[f"_new_{c}" for c in payload])
     # INSERT arm: any surviving upsert whose typed_id is not stored
     # becomes a new row (not just op=='create' — see docstring), carrying
     # whatever store columns the caller attached (tile_id etc.); missing
@@ -95,6 +102,45 @@ def merge_changes(store_rows: DataFrame, changes: DataFrame) -> DataFrame:
     )
 
 
+def assign_created_nodes(changes: DataFrame, catalog) -> DataFrame:
+    """Attach a ``tile_id`` to created nodes (J1 on the new coordinates)
+    so inserts land in a tile instead of null-filling — the reference's
+    Updater compiles added features into tiles
+    (src/change/Updater.cpp:68-84)."""
+    from .. import sqlgen
+
+    proj = changes.selectExpr(
+        "*",
+        f"{sqlgen.cell_expr(sqlgen.x_expr('lon100nd'))} AS cell_col",
+        f"{sqlgen.cell_expr(sqlgen.y_expr('lat100nd'))} AS cell_row",
+    )
+    assigned = catalog.assign(
+        proj.filter((F.col("op") == "create") & (F.col("ftype") == 0))
+    ).select("typed_id", F.col("tile_id").alias("_new_tile"))
+    return (
+        changes.join(assigned, "typed_id", "left")
+        .withColumn("tile_id", F.col("_new_tile"))
+        .drop("_new_tile")
+    )
+
+
+def _latest_applied_epoch(out_path: str, before: int) -> int | None:
+    """Most recent epoch dir < ``before`` with a _SUCCESS marker."""
+    import os
+    import re
+
+    if not os.path.isdir(out_path):
+        return None
+    done = [
+        int(m.group(1))
+        for d in os.listdir(out_path)
+        if (m := re.fullmatch(r"epoch=(\d+)", d))
+        and os.path.exists(os.path.join(out_path, d, "_SUCCESS"))
+    ]
+    done = [e for e in done if e < before]
+    return max(done, default=None)
+
+
 def apply_changes_streaming(
     spark,
     change_stream: DataFrame,
@@ -102,10 +148,17 @@ def apply_changes_streaming(
     out_path: str,
 ):
     """Micro-batch merge: each batch is revision-ordered and applied via
-    foreachBatch (exactly-once per the sink's atomic rename)."""
+    foreachBatch (exactly-once per the sink's atomic rename).
+
+    Epochs COMPOUND: each batch merges against the latest successfully
+    written epoch (falling back to the base store), so a stream split
+    across micro-batches applies every batch's changes, and a replayed
+    epoch re-reads its original input state (idempotent overwrite)."""
 
     def _apply(batch: DataFrame, epoch_id: int) -> None:
-        store = batch.sparkSession.read.parquet(store_path)
+        prev = _latest_applied_epoch(out_path, int(epoch_id))
+        src = store_path if prev is None else f"{out_path}/epoch={prev}"
+        store = batch.sparkSession.read.parquet(src)
         merged = merge_changes(store, batch)
         merged.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
 

@@ -65,18 +65,26 @@ def test_merge_changes_creates_inserted(spark):
 
 
 def test_merge_create_existing_acts_as_modify(spark):
+    """A create of an existing typed_id behaves as a modify: every
+    payload column the change PROVIDES replaces the store's (tile_id 99
+    wins — a moved node changes tile), while a NULL payload keeps the
+    store value (second change row carries no tile)."""
     store = spark.createDataFrame(
-        [(8, 2, {"b": "2"}, 11)],
+        [(8, 2, {"b": "2"}, 11), (12, 3, {"c": "1"}, 22)],
         "typed_id long, id long, tags map<string,string>, tile_id int",
     )
     ch = spark.createDataFrame(
-        [("create", 8, 2, {"b": "9"}, 99, 1, 0)],
+        [
+            ("create", 8, 2, {"b": "9"}, 99, 1, 0),
+            ("modify", 12, 3, {"c": "7"}, None, 1, 1),
+        ],
         "op string, typed_id long, id long, tags map<string,string>, "
         "tile_id int, revision long, change_seq long",
     )
-    out = merge_changes(store, ch).collect()
-    assert len(out) == 1
-    assert out[0]["tags"] == {"b": "9"} and out[0]["tile_id"] == 11
+    out = {r["typed_id"]: r.asDict() for r in merge_changes(store, ch).collect()}
+    assert len(out) == 2
+    assert out[8]["tags"] == {"b": "9"} and out[8]["tile_id"] == 99
+    assert out[12]["tags"] == {"c": "7"} and out[12]["tile_id"] == 22
 
 
 # ---------------------------------------------------------------------------

@@ -51,3 +51,108 @@ def test_change_merge_semantics(spark):
     assert latest == {4: "modify", 8: "delete", 16: "create"}
     merged = {r.typed_id: r.tags for r in merge_changes(store, changes).collect()}
     assert merged == {4: {"a": "new"}, 12: {"c": "3"}, 16: {"d": "4"}}
+
+
+def test_change_merge_create_then_modify_same_batch(spark):
+    """create→modify of one typed_id in a single batch must still insert
+    the feature (latest-wins keeps only the modify row, and a
+    create-only insert arm would drop it — ADVICE r02)."""
+    store = spark.createDataFrame(
+        [(4, {"a": "1"})], "typed_id long, tags map<string,string>"
+    )
+    changes = spark.createDataFrame(
+        [
+            (20, "create", 1, 1, {"v": "born"}),
+            (20, "modify", 1, 2, {"v": "edited"}),
+            # modify of a feature the store never had: also inserted
+            (24, "modify", 1, 1, {"v": "orphan-edit"}),
+        ],
+        "typed_id long, op string, revision int, change_seq int, "
+        "tags map<string,string>",
+    )
+    merged = {r.typed_id: r.tags for r in merge_changes(store, changes).collect()}
+    assert merged == {
+        4: {"a": "1"},
+        20: {"v": "edited"},
+        24: {"v": "orphan-edit"},
+    }
+
+
+def test_change_merge_replaces_all_payload_columns(spark):
+    """A modify replaces every payload column present in both frames —
+    a node move must update coordinates, not only tags."""
+    store = spark.createDataFrame(
+        [(4, {"a": "1"}, 100, 200, 7), (8, {"b": "2"}, 300, 400, 9)],
+        "typed_id long, tags map<string,string>, "
+        "lon100nd long, lat100nd long, tile_id int",
+    )
+    changes = spark.createDataFrame(
+        [(4, "modify", 1, 1, {"a": "moved"}, 111, 222, 8)],
+        "typed_id long, op string, revision int, change_seq int, "
+        "tags map<string,string>, lon100nd long, lat100nd long, tile_id int",
+    )
+    got = {r.typed_id: r for r in merge_changes(store, changes).collect()}
+    assert (got[4].lon100nd, got[4].lat100nd, got[4].tile_id) == (111, 222, 8)
+    assert got[4].tags == {"a": "moved"}
+    assert (got[8].lon100nd, got[8].lat100nd, got[8].tile_id) == (300, 400, 9)
+
+
+def test_apply_changes_streaming_epochs_compound(spark, tmp_path):
+    """Each micro-batch merges against the previous epoch's output, so a
+    change stream split across batches applies ALL batches, not only the
+    last one against the base store."""
+    from geodesk_gol_spark.streaming.update import apply_changes_streaming
+
+    store_path = str(tmp_path / "store")
+    spark.createDataFrame(
+        [(4, {"a": "1"}), (8, {"b": "2"})],
+        "typed_id long, tags map<string,string>",
+    ).write.parquet(store_path)
+
+    # two files → availableNow with maxFilesPerTrigger=1 gives 2 epochs
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    spark.createDataFrame(
+        [(4, "modify", 1, 1, {"a": "r1"})],
+        "typed_id long, op string, revision int, change_seq int, "
+        "tags map<string,string>",
+    ).coalesce(1).write.parquet(str(feed / "f0"))
+    spark.createDataFrame(
+        [(8, "delete", 2, 1, None), (16, "create", 2, 2, {"c": "new"})],
+        "typed_id long, op string, revision int, change_seq int, "
+        "tags map<string,string>",
+    ).coalesce(1).write.parquet(str(feed / "f1"))
+    import shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, sub in enumerate(sorted(feed.iterdir())):
+        for f in sorted(sub.glob("*.parquet")):
+            shutil.copy(f, flat / f"part-{i:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "typed_id long, op string, revision int, change_seq int, "
+            "tags map<string,string>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    out = str(tmp_path / "out")
+    q = apply_changes_streaming(spark, stream, store_path, out)
+    q.awaitTermination(120)
+
+    import os
+
+    epochs = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("epoch=")
+    )
+    assert len(epochs) >= 2, f"expected >=2 epochs, got {epochs}"
+    final = {
+        r.typed_id: r.tags
+        for r in spark.read.parquet(f"{out}/epoch={epochs[-1]}").collect()
+    }
+    # batch-1 modify AND batch-2 delete+create must BOTH be visible
+    assert final == {4: {"a": "r1"}, 16: {"c": "new"}}
