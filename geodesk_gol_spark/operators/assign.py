@@ -335,28 +335,45 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
             # Deterministic tiebreaks (our spec): loser = smallest rel_id
             # among lowest scores; the removed edge targets the loser's
             # smallest-id still-cyclic member.
+            # the five residue collections are independent joins over
+            # already-persisted frames — run them as concurrent Spark
+            # jobs (latency = max, not sum; ~2.4 s serialized at sf0.1)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(5) as pool:
+                f_tags = pool.submit(
+                    lambda: relations.join(
+                        pending.withColumnRenamed("rel_id", "id"), "id"
+                    ).select("id", "tags").toPandas())
+                f_edges = pool.submit(
+                    lambda: edges.join(pending, "rel_id").toPandas())
+                f_mem = pool.submit(
+                    lambda: resolved_all.join(
+                        edges.join(pending, "rel_id")
+                        .select(F.col("member_rel").alias("rel_id"))
+                        .distinct(),
+                        "rel_id",
+                    ).toPandas())
+                f_own = pool.submit(
+                    lambda: nonrel_agg.join(pending, "rel_id").toPandas())
+                # exact node/way member counts (self-refs already dropped
+                # from rm): n_members - len(by_super) would miscount
+                # dropped self-refs as node/way members and drift as
+                # edges are removed below
+                f_cnt = pool.submit(
+                    lambda: nonrel.groupBy("rel_id")
+                    .agg(F.count(F.lit(1)).alias("n_nonrel"))
+                    .join(pending, "rel_id").toPandas())
             pend_tags = {
                 int(r.id): dict(r.tags or {})
-                for r in relations.join(
-                    pending.withColumnRenamed("rel_id", "id"), "id"
-                ).select("id", "tags").toPandas().itertuples()
+                for r in f_tags.result().itertuples()
             }
-            pend_edges = edges.join(pending, "rel_id").toPandas()
-            mem_ids = sorted({int(m) for m in pend_edges.member_rel})
-            mem_pdf = resolved_all.join(
-                spark.createDataFrame([(m,) for m in mem_ids], "rel_id long"),
-                "rel_id",
-            ).toPandas()
-            own_pdf = nonrel_agg.join(pending, "rel_id").toPandas()
-            # exact node/way member counts (self-refs already dropped
-            # from rm): n_members - len(by_super) would miscount dropped
-            # self-refs as node/way members and drift as edges are
-            # removed below
+            pend_edges = f_edges.result()
+            mem_pdf = f_mem.result()
+            own_pdf = f_own.result()
             nonrel_counts = {
                 int(r.rel_id): int(r.n_nonrel)
-                for r in nonrel.groupBy("rel_id")
-                .agg(F.count(F.lit(1)).alias("n_nonrel"))
-                .join(pending, "rel_id").toPandas().itertuples()
+                for r in f_cnt.result().itertuples()
             }
             mem_ext = {
                 int(r.rel_id): (
@@ -488,7 +505,22 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
         "refcycle",
         *_EXT_COLS,
     )
-    return rel_ext, unresolved
+    # resolved_all is a union of per-level fragments whose logical plan
+    # reaches back through the whole member join — every downstream
+    # action would pay (a) Catalyst re-planning that giant tree (~2 s of
+    # DRIVER time per action at sf0.1, even on a cache hit) and (b) one
+    # Python task per tiny union fragment in home_tiles' vectorized
+    # lookups.  REBALANCE lets AQE right-size partitions by bytes (one
+    # partition here, ~64 MB splits at planet scale) and the LAZY
+    # localCheckpoint collapses the plan to an RDD scan — the
+    # 1-row-per-relation shuffle is trivial next to the member join.
+    # Measured at sf0.1: rel_ext.count 2.3 s → 0.06 s, the rel-homes
+    # pass 4.4 s → 0.5 s.  Same treatment for unresolved (consumers
+    # like J7 exports re-planned its anti-join chain on every use).
+    return (
+        rel_ext.hint("rebalance").localCheckpoint(eager=False),
+        unresolved.hint("rebalance").localCheckpoint(eager=False),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -607,8 +639,9 @@ def assign_features(
         )
     )
 
+    # relation_extents returns a lazily localCheckpointed frame — its
+    # blocks ARE the cache; a persist() on top would store a second copy
     rel_ext, unresolved = relation_extents(feats["relations"], points, wext)
-    rel_ext = rel_ext.persist()
     rel_homes = home_tiles(rel_ext, catalog).join(
         rel_ext.select("typed_id", "level"), "typed_id"
     )
