@@ -64,6 +64,14 @@ def merge_changes(store_rows: DataFrame, changes: DataFrame) -> DataFrame:
     its latest op is 'modify' — a batch may contain create→modify of the
     same feature, and latest-wins keeps only the modify row; the
     reference's revision-ordered apply retains that feature too.
+
+    Precondition for batch-split invariance (merge(all) ==
+    merge(merge(b1), b2), what lets the streaming path compound): each
+    upsert carries the FULL payload — a null payload column falls back
+    to the *store* value, so a later partial modify would undo an
+    earlier same-batch modify's column.  .osc modifies always carry the
+    complete feature, so this holds for the reference feed; see
+    tests/test_streaming.py::test_change_merge_split_invariance.
     """
     latest = latest_changes(changes)
     deletes = latest.filter(F.col("op") == "delete").select("typed_id")

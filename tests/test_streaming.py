@@ -97,6 +97,72 @@ def test_change_merge_replaces_all_payload_columns(spark):
     assert (got[8].lon100nd, got[8].lat100nd, got[8].tile_id) == (300, 400, 9)
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_change_merge_split_invariance(spark, seed):
+    """merge(store, feed) == merge(merge(store, feed≤k), feed>k) == a
+    pure-Python revision-ordered apply, for random full-payload feeds
+    (every .osc modify carries the complete feature, so payload columns
+    are never null — the precondition for latest-wins == ordered apply).
+    This is the invariant that lets apply_changes_streaming compound
+    micro-batches."""
+    import random
+
+    rng = random.Random(seed)
+    ids = list(range(4, 4 + 30 * 4, 4))
+    store_rows = [
+        (i, {"v": f"s{i}"}, rng.randrange(1000), rng.randrange(16))
+        for i in sorted(rng.sample(ids, 18))
+    ]
+    schema_store = ("typed_id long, tags map<string,string>, "
+                    "lon100nd long, tile_id int")
+    feed, seq = [], 0
+    for rev in (1, 2, 3, 4):
+        for _ in range(10):
+            tid = rng.choice(ids)
+            op = rng.choice(["create", "modify", "modify", "delete"])
+            seq += 1
+            if op == "delete":
+                feed.append((tid, op, rev, seq, None, None, None))
+            else:
+                feed.append((tid, op, rev, seq,
+                             {"v": f"c{rev}.{seq}"},
+                             rng.randrange(1000), rng.randrange(16)))
+    schema_feed = ("typed_id long, op string, revision int, "
+                   "change_seq int, tags map<string,string>, "
+                   "lon100nd long, tile_id int")
+
+    store = spark.createDataFrame(store_rows, schema_store)
+    all_ch = spark.createDataFrame(feed, schema_feed)
+    b1 = spark.createDataFrame([r for r in feed if r[2] <= 2], schema_feed)
+    b2 = spark.createDataFrame([r for r in feed if r[2] > 2], schema_feed)
+
+    def snap(df):
+        return sorted(
+            (r.typed_id, tuple(sorted((r.tags or {}).items())),
+             r.lon100nd, r.tile_id)
+            for r in df.collect()
+        )
+
+    one_shot = snap(merge_changes(store, all_ch))
+    two_step = snap(merge_changes(merge_changes(store, b1), b2))
+    assert one_shot == two_step
+
+    # independent oracle: ordered dict apply
+    model = {t: (tags, lon, tile) for t, tags, lon, tile in store_rows}
+    for tid, op, rev, seq_, tags, lon, tile in sorted(
+        feed, key=lambda r: (r[2], r[3])
+    ):
+        if op == "delete":
+            model.pop(tid, None)
+        else:
+            model[tid] = (tags, lon, tile)
+    want = sorted(
+        (t, tuple(sorted(v[0].items())), v[1], v[2])
+        for t, v in model.items()
+    )
+    assert one_shot == want
+
+
 def test_apply_changes_streaming_epochs_compound(spark, tmp_path):
     """Each micro-batch merges against the previous epoch's output, so a
     change stream split across batches applies ALL batches, not only the
