@@ -340,16 +340,32 @@ def around_filter(
 # ---------------------------------------------------------------------------
 
 def knn_bruteforce(
-    points: DataFrame, queries: DataFrame, k: int = 5
+    points: DataFrame, queries: DataFrame, k: int = 5,
+    max_queries: int | None = 4096,
 ) -> DataFrame:
     """Exact kNN: broadcast the (small) query set, rank by squared
     integer distance with deterministic (dist, id) tiebreak.
 
     points:  (id, x, y);  queries: (q_id, qx, qy)
     Output: (q_id, neighbor_id, rank)
+
+    This is the O(N×Q) exactness oracle and the escalation-residue
+    fallback — not a scale path.  To keep callers from feeding it a
+    large query set by accident (the plan is a deliberate broadcast
+    cartesian), it refuses query sets above ``max_queries`` rows;
+    knn_cell_rings is the scale path, and passes ``max_queries=None``
+    for its residue (already counted, provably the escalation
+    remainder).
     """
     from pyspark.sql import Window
 
+    if max_queries is not None:
+        nq = queries.limit(max_queries + 1).count()
+        if nq > max_queries:
+            raise ValueError(
+                f"knn_bruteforce is the exactness oracle (O(points x "
+                f"queries) broadcast cartesian): got > {max_queries} "
+                f"query rows; use knn_cell_rings for large query sets")
     j = points.join(F.broadcast(queries))
     d = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
         F.col("y") - F.col("qy")
@@ -539,7 +555,7 @@ def knn_cell_rings(
         # (measured at sf0.1: 106 → 106 → 0), and a wasted pass costs
         # ~1/4 of the brute fallback it would trigger
     if remaining is not None:
-        parts.append(knn_bruteforce(points, remaining, k))
+        parts.append(knn_bruteforce(points, remaining, k, max_queries=None))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

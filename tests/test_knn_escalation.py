@@ -64,3 +64,17 @@ def test_rings_near_world_edge(spark):
     got = {(r["q_id"], r["rank"]): r["neighbor_id"]
            for r in knn_cell_rings(points, qs, 3, cell_bits=22).collect()}
     assert got == want
+
+
+def test_bruteforce_refuses_large_query_set(spark):
+    """The brute cartesian is the oracle/residue path only: a query set
+    above the cap raises instead of silently planning O(N x Q)."""
+    import pytest as _pytest
+
+    pts = spark.range(10).selectExpr("id", "id AS x", "id AS y")
+    qs = spark.range(5000).selectExpr(
+        "id AS q_id", "id AS qx", "id AS qy")
+    with _pytest.raises(ValueError, match="knn_cell_rings"):
+        knn_bruteforce(pts, qs, k=2)
+    # and the escape hatch for the rings residue still works
+    assert knn_bruteforce(pts, qs.limit(3), k=2).count() == 6
