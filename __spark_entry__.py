@@ -453,21 +453,18 @@ def _q_s6_archive_load(spark, sf):
     tile's xxhash64 checksum and the load raises before returning —
     so this row being green certifies the parquet round-trip, not just
     the counting SQL (which the s5 oracle shares)."""
-    import pathlib
-
     from geodesk_gol_spark.operators.archive import (MANIFEST, load_tiles,
                                                      save_tiles)
 
-    from geodesk_gol_spark.gate import _code_fingerprint
+    from geodesk_gol_spark.gate import derived_cache_dir
 
     c = ctx(spark, sf)
-    # fingerprinted like the gate ctx cache: a code change that alters
-    # store contents must invalidate the memoized archive too, or the
-    # old (internally checksum-consistent) archive mismatches the
+    # fingerprinted like the gate ctx cache (code AND data identity): a
+    # code change that alters store contents, or testdata regenerated in
+    # place, must invalidate the memoized archive too — the old
+    # (internally checksum-consistent) archive would mismatch the
     # freshly rebuilt oracle
-    path = pathlib.Path(
-        "/root/repo/.gatecache/archive_"
-        + pathlib.Path(sf.rstrip("/")).name + "-" + _code_fingerprint())
+    path = derived_cache_dir(sf, "archive")
     if not (path / MANIFEST).exists():
         save_tiles(c["store"], c["catalog"], str(path))
     rows = load_tiles(spark, str(path), verify=True)
@@ -484,17 +481,13 @@ def _q_u3_save_subset(spark, sf):
     ON, then per-tile manifest counts; the oracle recomputes the
     surviving-tile geometry test independently
     (src/gol/SaveCommand.cpp tile-set selection)."""
-    import pathlib
-
     from geodesk_gol_spark.operators.archive import (MANIFEST, load_tiles,
                                                      save_tiles)
 
-    from geodesk_gol_spark.gate import _code_fingerprint
+    from geodesk_gol_spark.gate import derived_cache_dir
 
     c = ctx(spark, sf)
-    path = pathlib.Path(
-        "/root/repo/.gatecache/archive_sub_"
-        + pathlib.Path(sf.rstrip("/")).name + "-" + _code_fingerprint())
+    path = derived_cache_dir(sf, "archive_sub")
     if not (path / MANIFEST).exists():
         save_tiles(c["store"], c["catalog"], str(path), bbox=_BB)
     rows = load_tiles(spark, str(path), verify=True)

@@ -516,14 +516,17 @@ def main() -> None:
                            "counts": {}, "_all_tainted": True}
         thr_lo = runs[lo]["features_per_sec"]
         thr_hi = runs[hi]["features_per_sec"]
-        eff = (thr_hi / thr_lo) / (hi / lo)
+        # a level whose every try was steal-tainted reports f/s 0.0 —
+        # still write the report (with eff=None) instead of crashing
+        # away hours of tries
+        eff = (thr_hi / thr_lo) / (hi / lo) if thr_lo > 0 else None
         report = {
             "mode": "standalone-cluster",
             "sf_dir": sf_dir, "replicate": rep,
             "n_executors_small": lo, "n_executors_large": hi,
             "throughput_small_fps": thr_lo,
             "throughput_large_fps": thr_hi,
-            "scaling_efficiency": round(eff, 3),
+            "scaling_efficiency": round(eff, 3) if eff is not None else None,
             "runs": runs, "tries": try_log,
         }
         with open("BENCH_SCALING.md", "a") as f:
@@ -692,7 +695,8 @@ def main() -> None:
                            "counts": {}, "_all_tainted": True}
         thr_lo = runs[lo]["features_per_sec"]
         thr_hi = runs[cpus]["features_per_sec"]
-        eff = (thr_hi / thr_lo) / (cpus / lo)
+        # all-tainted level reports f/s 0.0 — keep the report, eff=None
+        eff = (thr_hi / thr_lo) / (cpus / lo) if thr_lo > 0 else None
         report = {
             "sf_dir": sf_dir,
             "replicate": rep,
@@ -700,7 +704,7 @@ def main() -> None:
             "n_large": cpus,
             "throughput_small_fps": thr_lo,
             "throughput_large_fps": thr_hi,
-            "scaling_efficiency": round(eff, 3),
+            "scaling_efficiency": round(eff, 3) if eff is not None else None,
             "runs": runs,
             "tries": try_log,
         }

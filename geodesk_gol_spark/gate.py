@@ -73,6 +73,17 @@ def _cache_dir(sf_dir: str) -> Path:
             / f"{name}-{_code_fingerprint()}-{_data_fingerprint(sf_dir)}")
 
 
+def derived_cache_dir(sf_dir: str, prefix: str) -> Path:
+    """Cache dir for artifacts DERIVED from a gate context (memoized
+    archives etc.) — same identity rule as the context itself (code AND
+    data fingerprint; a regenerated-in-place testdata tree must not
+    reuse a stale archive), same relocatable root."""
+    name = Path(sf_dir.rstrip("/")).name or "sf"
+    return (_PKG.parent / ".gatecache"
+            / f"{prefix}_{name}-{_code_fingerprint()}"
+              f"-{_data_fingerprint(sf_dir)}")
+
+
 def _materialize(spark: SparkSession, sf_dir: str) -> Path:
     """Build once, checkpointing STAGE BY STAGE to parquet.
 

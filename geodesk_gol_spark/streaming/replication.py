@@ -206,9 +206,11 @@ def replicate(
     apply all diffs as one ordered merge.  Returns (merged store rows,
     server head state); if the store is current, returns it unchanged
     (ChangeIngester.cpp:24-119 NO_UPDATES path).  Pass the store's
-    ``catalog`` so created nodes get a tile assignment (without it,
-    inserts null-fill tile_id and tile-pruned consumers skip them)."""
-    from .update import assign_created_nodes, merge_changes
+    ``catalog`` so node upserts get fresh derived columns — tile
+    assignment, projection, point bbox (without it, created nodes
+    null-fill tile_id and tile-pruned consumers skip them, and moved
+    nodes keep a stale tile)."""
+    from .update import merge_changes, prepare_node_changes
 
     head = fetch_state(base_url)
     if local_revision >= head.revision:
@@ -218,7 +220,7 @@ def replicate(
         F.col("revision") > local_revision
     )
     if catalog is not None and "tile_id" in store_rows.columns:
-        changes = assign_created_nodes(changes, catalog)
+        changes = prepare_node_changes(changes, catalog)
     return merge_changes(store_rows, changes), head
 
 

@@ -75,17 +75,30 @@ def _fold_sessions(
 ) -> tuple[list[tuple[int, int, int, int]], int, int, int, int]:
     """Fold time-ordered (t) rows into (seq, n, start, end) sessions,
     continuing from the open-session state; returns (emitted sessions
-    incl. the final open snapshot, new state)."""
+    incl. the final open snapshot, new state).
+
+    Late-data policy (cross-batch out-of-order arrivals; within a batch
+    rows are sorted): an event at t ≤ last that is still within gap
+    reach of the open session (t ≥ start − gap) joins it — extending
+    ``start`` backwards, never regressing ``last`` (a regressed ``last``
+    would corrupt every later gap comparison).  An event older than
+    start − gap is DROPPED, like an event behind a watermark: the batch
+    oracle, which sees all events sorted, would give it its own earlier
+    session, so streaming == batch holds for in-order arrival across
+    micro-batches (the file-source case the tests pin)."""
     out: list[tuple[int, int, int, int]] = []
     for t in rows["t"]:
         t = int(t)
         if n == 0:  # no open session yet
             seq, n, start, last = seq + 1, 1, t, t
-        elif t - last > gap_us:
+        elif t > last and t - last > gap_us:
             out.append((seq, n, start, last))  # closed by this gap
             seq, n, start, last = seq + 1, 1, t, t
-        else:
+        elif t > last:
             n, last = n + 1, t
+        elif t >= start - gap_us:  # late, within session reach
+            n, start = n + 1, min(start, t)
+        # else: behind the open session's watermark — dropped
     if n:
         out.append((seq, n, start, last))  # open-session snapshot
     return out, seq, n, start, last

@@ -104,32 +104,64 @@ def merge_changes(store_rows: DataFrame, changes: DataFrame) -> DataFrame:
         .join(store_rows.select("typed_id"), "typed_id", "left_anti")
         .drop("op", "revision", "change_seq")
     )
+    # flag columns get their semantic defaults instead of null: an
+    # inserted feature is a home copy (is_ghost=false, twin=0) — a null
+    # there makes every ~is_ghost consumer silently drop the new row
+    for c, d in (("is_ghost", F.lit(False)), ("twin", F.lit(0))):
+        if c in store_rows.columns:
+            inserts = inserts.withColumn(
+                c, F.coalesce(F.col(c), d) if c in inserts.columns else d
+            )
     common = [c for c in inserts.columns if c in modified.columns]
     return modified.unionByName(
         inserts.select(*common), allowMissingColumns=True
     )
 
 
-def assign_created_nodes(changes: DataFrame, catalog) -> DataFrame:
-    """Attach a ``tile_id`` to created nodes (J1 on the new coordinates)
-    so inserts land in a tile instead of null-filling — the reference's
-    Updater compiles added features into tiles
-    (src/change/Updater.cpp:68-84)."""
+def prepare_node_changes(changes: DataFrame, catalog) -> DataFrame:
+    """Recompute the derived store columns for node upserts — creates
+    AND modifies: projection (cx, cy), point bbox, and tile assignment
+    (J1 on the NEW coordinates; src/change/Updater.cpp:68-84).  A node
+    move is the dominant OSM change and crosses tile boundaries, so a
+    modify that kept the stale tile_id/cx/cy would leave rows whose
+    coordinates lie outside their tile (tile-pruned queries miss them
+    and check_store's bbox_outside_tile invariant fires).
+
+    The join back is on the FULL change key (typed_id, revision,
+    change_seq), so a backlog that creates the same typed_id twice (e.g.
+    create→delete→create) keeps one assignment per change row instead
+    of fanning out into a nondeterministic latest-wins tie.
+
+    Ways/relations are left untouched: their change rows carry no
+    tile_id, so the merge keeps each store copy's own tile (ghost rows
+    included) — re-tiling a changed way needs the compile pass, as in
+    the reference's tile recompilation."""
     from .. import sqlgen
 
-    proj = changes.selectExpr(
-        "*",
+    key = ["typed_id", "revision", "change_seq"]
+    node_ups = changes.filter(
+        (F.col("op") != "delete") & (F.col("ftype") == 0)
+        & F.col("lon100nd").isNotNull() & F.col("lat100nd").isNotNull()
+    ).selectExpr(
+        *key,
+        f"{sqlgen.x_expr('lon100nd')} AS _new_cx",
+        f"{sqlgen.y_expr('lat100nd')} AS _new_cy",
         f"{sqlgen.cell_expr(sqlgen.x_expr('lon100nd'))} AS cell_col",
         f"{sqlgen.cell_expr(sqlgen.y_expr('lat100nd'))} AS cell_row",
     )
-    assigned = catalog.assign(
-        proj.filter((F.col("op") == "create") & (F.col("ftype") == 0))
-    ).select("typed_id", F.col("tile_id").alias("_new_tile"))
-    return (
-        changes.join(assigned, "typed_id", "left")
-        .withColumn("tile_id", F.col("_new_tile"))
-        .drop("_new_tile")
+    assigned = catalog.assign(node_ups).select(
+        *key, "_new_cx", "_new_cy", F.col("tile_id").alias("_new_tile")
     )
+    out = changes.join(assigned, key, "left")
+    derived = {
+        "tile_id": F.col("_new_tile"),
+        "cx": F.col("_new_cx"), "cy": F.col("_new_cy"),
+        "minx": F.col("_new_cx"), "miny": F.col("_new_cy"),
+        "maxx": F.col("_new_cx"), "maxy": F.col("_new_cy"),
+    }
+    for c, expr in derived.items():
+        out = out.withColumn(c, expr)
+    return out.drop("_new_tile", "_new_cx", "_new_cy")
 
 
 def _latest_applied_epoch(out_path: str, before: int) -> int | None:

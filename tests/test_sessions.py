@@ -87,3 +87,30 @@ def test_stream_two_batches_continue_sessions(spark, tmp_path):
     got = _latest_per_session(out)
     assert n_emit > got.count()
     assert _rows(got) == _rows(sessionize_batch(events, GAP))
+
+
+def test_fold_sessions_late_events_no_state_corruption():
+    """Cross-batch late events must not regress the open session's
+    ``last`` (which would corrupt every later gap comparison): a late
+    event within gap reach joins the session (extending start
+    backwards); one behind the watermark is dropped."""
+    import pandas as pd
+
+    from geodesk_gol_spark.streaming.sessions import _fold_sessions
+
+    gap = 1_800_000_000
+    # batch 1: t=100 closes into its own session once t=5e9 opens a new one
+    out1, seq, n, start, last = _fold_sessions(
+        pd.DataFrame({"t": [100, 5_000_000_000]}), 0, 0, 0, 0, gap)
+    assert (seq, n, start, last) == (2, 1, 5_000_000_000, 5_000_000_000)
+    # batch 2: t=200 is behind the open session's watermark -> dropped,
+    # state unchanged (the old code made last=200 and start>end)
+    out2, seq, n, start, last = _fold_sessions(
+        pd.DataFrame({"t": [200]}), seq, n, start, last, gap)
+    assert (seq, n, start, last) == (2, 1, 5_000_000_000, 5_000_000_000)
+    assert out2 == [(2, 1, 5_000_000_000, 5_000_000_000)]
+    # batch 3: mildly late event within gap reach joins, start extends
+    out3, seq, n, start, last = _fold_sessions(
+        pd.DataFrame({"t": [4_000_000_000]}), seq, n, start, last, gap)
+    assert (seq, n, start, last) == (2, 2, 4_000_000_000, 5_000_000_000)
+    assert out3 == [(2, 2, 4_000_000_000, 5_000_000_000)]

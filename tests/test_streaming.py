@@ -97,6 +97,81 @@ def test_change_merge_replaces_all_payload_columns(spark):
     assert (got[8].lon100nd, got[8].lat100nd, got[8].tile_id) == (300, 400, 9)
 
 
+def test_prepare_node_changes_moves_and_creates(spark):
+    """A node-move modify gets a fresh tile/cx/cy (stale tile_id would
+    hide the node from tile-pruned queries); a created node lands with
+    is_ghost=false; a create→delete→create backlog keeps one assignment
+    per change row (no latest-wins tie on duplicate typed_ids)."""
+    from geodesk_gol_spark import sqlgen
+    from geodesk_gol_spark.plans.pyramid import (
+        BuildSettings,
+        build_tile_catalog,
+    )
+    from geodesk_gol_spark.streaming.update import (
+        merge_changes,
+        prepare_node_changes,
+    )
+
+    # two dense clusters far apart -> at least two surviving tiles
+    base = spark.createDataFrame(
+        [(i, 25_000_000 + i * 1000, 15_000_000) for i in range(12)]
+        + [(100 + i, 1_000_000_000 + i * 1000, -400_000_000)
+           for i in range(12)],
+        "id long, lon100nd long, lat100nd long",
+    ).selectExpr(
+        "id",
+        f"{sqlgen.x_expr('lon100nd')} AS x",
+        f"{sqlgen.y_expr('lat100nd')} AS y",
+        f"{sqlgen.cell_expr(sqlgen.x_expr('lon100nd'))} AS cell_col",
+        f"{sqlgen.cell_expr(sqlgen.y_expr('lat100nd'))} AS cell_row",
+    )
+    catalog = build_tile_catalog(base, BuildSettings.for_fixture(2))
+
+    def tile_of(lon, lat):
+        df = spark.createDataFrame(
+            [(lon, lat)], "lon100nd long, lat100nd long"
+        ).selectExpr(
+            f"{sqlgen.cell_expr(sqlgen.x_expr('lon100nd'))} AS cell_col",
+            f"{sqlgen.cell_expr(sqlgen.y_expr('lat100nd'))} AS cell_row",
+        )
+        return catalog.assign(df).collect()[0].tile_id
+
+    t_a, t_b = tile_of(25_000_000, 15_000_000), tile_of(
+        1_000_000_000, -400_000_000)
+    assert t_a != t_b, "fixture must span two tiles"
+
+    store = spark.createDataFrame(
+        [(4, 1, {"n": "a"}, False, 0, 25_000_000, 15_000_000, t_a,
+          None, None)],
+        "typed_id long, id long, tags map<string,string>, "
+        "is_ghost boolean, twin int, lon100nd long, lat100nd long, "
+        "tile_id int, cx long, cy long",
+    )
+    changes = spark.createDataFrame(
+        [
+            # node 1 moves from cluster A to cluster B
+            ("modify", 0, 1, 4, 1_000_000_000, -400_000_000,
+             {"n": "a"}, 1, 1),
+            # node 2: create in A, delete, re-create in B
+            ("create", 0, 2, 8, 25_000_000, 15_000_000, {"n": "b"}, 1, 2),
+            ("delete", 0, 2, 8, None, None, None, 2, 3),
+            ("create", 0, 2, 8, 1_000_000_000, -400_000_000,
+             {"n": "b2"}, 3, 4),
+        ],
+        "op string, ftype int, id long, typed_id long, lon100nd long, "
+        "lat100nd long, tags map<string,string>, revision long, "
+        "change_seq long",
+    )
+    prepared = prepare_node_changes(changes, catalog)
+    assert prepared.count() == changes.count()  # no fan-out
+    merged = {r.typed_id: r for r in merge_changes(store, prepared).collect()}
+    assert merged[4].tile_id == t_b          # moved node re-tiled
+    assert merged[4].cx is not None and merged[4].cy is not None
+    assert merged[8].tile_id == t_b          # final create's coords win
+    assert merged[8].is_ghost is False       # visible to home-copy filters
+    assert merged[8].tags == {"n": "b2"}
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_change_merge_split_invariance(spark, seed):
     """merge(store, feed) == merge(merge(store, feed≤k), feed>k) == a
