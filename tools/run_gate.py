@@ -41,9 +41,11 @@ def main() -> int:
     qs = entrymod.queries()
     os_ = entrymod.oracle_sql()
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             got = fn(spark, sf).toPandas()
@@ -92,7 +94,7 @@ def main() -> int:
             failures.append(name)
         print(f"{name}: {status} rows={len(g)} [spark {t1 - t0:.1f}s, "
               f"duck {t2 - t1:.1f}s]")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} OK; failures: {failures}")
+    print(f"\n{checked - len(failures)}/{checked} OK; failures: {failures}")
     spark.stop()
     return 1 if failures else 0
 
