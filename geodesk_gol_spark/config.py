@@ -18,6 +18,12 @@ from dataclasses import dataclass, field
 # reference's own test configuration (test/test_save.py:20).
 ZOOM_LEVELS: tuple[int, ...] = (12, 9, 6, 3, 0)
 
+# Non-root zooms, deepest first — the probe order for survivor lookups
+# (root, zoom 0 / tile_id 0, is every lookup's fallback).  Single source
+# of truth: pyramid construction and tile_lookup must probe the SAME
+# ladder or assignments silently fall back to ancestors.
+LADDER: tuple[int, ...] = tuple(z for z in ZOOM_LEVELS if z > 0)
+
 # World coordinate space: x/y are 31-bit non-negative ints ([0, 2^31)),
 # analogous to the reference's int32 scaled Web-Mercator space
 # (src/build/analyze/FastTileCalculator.h:31-51) shifted to be non-negative

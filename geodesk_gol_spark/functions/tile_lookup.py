@@ -25,9 +25,15 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import LEAF_ZOOM
+from ..config import LADDER as _LADDER, LEAF_ZOOM
 
-_LADDER = (12, 9, 6, 3)  # root (zoom 0, tile_id 0) is the COALESCE default
+# broadcast memo: (applicationId, survivor-id digest) → Broadcast.  A
+# long-lived updater calls catalog.assign once per micro-batch/epoch;
+# re-broadcasting the same ≤65 535-id array every call would accumulate
+# dead broadcast blocks in the BlockManager without bound.  Keyed by
+# applicationId (not id(spark) — recycled object addresses) + a content
+# digest, so a rebuilt catalog gets a fresh broadcast.
+_BCAST_CACHE: dict[tuple[str, str], object] = {}
 
 
 def survivor_lookup_udf(spark: SparkSession, tiles_pd) -> "callable":
@@ -38,8 +44,24 @@ def survivor_lookup_udf(spark: SparkSession, tiles_pd) -> "callable":
     tile_id.  ``zstar`` caps the deepest zoom considered (J3 TilePair
     semantics); pass a literal 12 for plain J1 node assignment.
     """
+    import hashlib
+
     ids = np.sort(tiles_pd["tile_id"].to_numpy().astype(np.int64))
-    bids = spark.sparkContext.broadcast(ids)
+    key = (spark.sparkContext.applicationId,
+           hashlib.sha1(ids.tobytes()).hexdigest())
+    bids = _BCAST_CACHE.get(key)
+    if bids is None:
+        # drop memo entries of dead sessions, and cap same-app entries
+        # (releasing OUR reference; ContextCleaner reclaims the blocks
+        # once any in-flight plan closures release theirs — never
+        # destroy() here, a lazy frame may still hold the broadcast)
+        for k in [k for k in _BCAST_CACHE if k[0] != key[0]]:
+            del _BCAST_CACHE[k]
+        same_app = [k for k in _BCAST_CACHE if k[0] == key[0]]
+        for k in same_app[:-7]:
+            del _BCAST_CACHE[k]
+        bids = spark.sparkContext.broadcast(ids)
+        _BCAST_CACHE[key] = bids
 
     @F.pandas_udf("int")
     def lookup(cell_col: pd.Series, cell_row: pd.Series,

@@ -179,7 +179,11 @@ def _materialize(spark: SparkSession, sf_dir: str) -> Path:
 
 
 def ctx(spark: SparkSession, sf_dir: str) -> dict:
-    key = (id(spark), sf_dir.rstrip("/"))
+    # keyed by applicationId, not id(spark): a stopped session's object
+    # address can be recycled by a new session, which would hand out
+    # DataFrames bound to the dead context (same hazard gate_ml's
+    # component/matview caches already guard against)
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     if key in _CTX:
         return _CTX[key]
     d = _cache_dir(sf_dir)

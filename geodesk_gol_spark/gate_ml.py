@@ -348,7 +348,10 @@ def sql_text_repetition(t: str, d: str) -> str:
     """
 
 
-def sql_sample_temperature(t: str, d: str, scale: int = 4,
+TEMPERATURE_SCALE = 4  # quota = floor(TEMPERATURE_SCALE * sqrt(n))
+
+
+def sql_sample_temperature(t: str, d: str, scale: int = TEMPERATURE_SCALE,
                            cap: int | None = None) -> str:
     """Temperature-weighted mixture sampling (α = 0.5): each source's
     quota is ⌊scale·√n⌋ docs — the sub-linear allocation that upweights
@@ -823,13 +826,12 @@ def sql_text_tokens_bpe(t: str, d: str) -> str:
     """
 
 
-def sql_dedup_components_oracle(t: str) -> str:
-    """DuckDB-only oracle for connected components over the simhash
-    near-dup pairs: recursive reachability, component = min doc_id
-    reachable.  (Spark has no recursive CTE — the engine side iterates;
-    see _q_dedup_components.)"""
-    return f"""
-    WITH RECURSIVE pairs AS ({sql_dedup_simhash_pairs(t, "duck")}),
+def _components_ctes(t: str) -> str:
+    """Shared recursive-reachability CTE block (DuckDB only): pairs →
+    bidirectional edges → min-label reachability.  One definition so the
+    components oracle and the composed corpus-filter oracle can never
+    disagree about the same clusters."""
+    return f"""pairs AS ({sql_dedup_simhash_pairs(t, "duck")}),
     edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION ALL SELECT doc_b, doc_a FROM pairs
@@ -839,7 +841,16 @@ def sql_dedup_components_oracle(t: str) -> str:
       SELECT doc, doc FROM verts
       UNION
       SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.doc
-    )
+    )"""
+
+
+def sql_dedup_components_oracle(t: str) -> str:
+    """DuckDB-only oracle for connected components over the simhash
+    near-dup pairs: recursive reachability, component = min doc_id
+    reachable.  (Spark has no recursive CTE — the engine side iterates;
+    see _q_dedup_components.)"""
+    return f"""
+    WITH RECURSIVE {_components_ctes(t)}
     SELECT doc AS doc_id, min(lbl) AS component
     FROM reach GROUP BY doc
     """
@@ -922,6 +933,14 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = jumped.drop("chg")
         if changed == 0:
             break
+    else:
+        # never memoize unconverged labels: corpus_dedup_filtered would
+        # silently keep duplicates.  With pointer jumping 15 rounds
+        # covers component diameter ~2^15; hitting this means the edge
+        # graph is pathological, not that truncation is acceptable.
+        raise RuntimeError(
+            f"component propagation did not converge in 15 rounds "
+            f"({changed} labels still changing)")
     out = labels.select(F.col("doc").alias("doc_id"),
                         F.col("lbl").alias("component"))
     _COMPONENTS_CACHE[key] = out
@@ -932,17 +951,7 @@ def sql_corpus_dedup_filtered_oracle(t: str, min_tokens: int = 5,
                                      max_stop_milli: int = 500) -> str:
     """DuckDB oracle for the composed training-corpus filter."""
     return f"""
-    WITH RECURSIVE pairs AS ({sql_dedup_simhash_pairs(t, "duck")}),
-    edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION ALL SELECT doc_b, doc_a FROM pairs
-    ),
-    verts AS (SELECT DISTINCT a AS doc FROM edges),
-    reach(doc, lbl) AS (
-      SELECT doc, doc FROM verts
-      UNION
-      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.doc
-    ),
+    WITH RECURSIVE {_components_ctes(t)},
     comp AS (SELECT doc AS doc_id, min(lbl) AS component
              FROM reach GROUP BY doc),
     losers AS (SELECT doc_id FROM comp WHERE doc_id <> component),
@@ -1063,8 +1072,7 @@ def sql_change_merge(events: str, lineitem: str, d: str) -> str:
     ),
     nodes AS (SELECT {nid} AS id FROM {lineitem})
     SELECT n.id AS id,
-           CASE WHEN l.event_type IS NULL THEN 'unchanged'
-                WHEN l.event_type = 'purchase' THEN 'deleted'
+           CASE WHEN l.event_type = 'purchase' THEN 'deleted'
                 ELSE l.event_type END AS state
     FROM nodes n LEFT JOIN latest l ON l.target = n.id
     WHERE l.event_type IS NOT NULL
@@ -1146,8 +1154,11 @@ def _materialized_view(spark: SparkSession, key: str,
 
 def _q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _view(spark, sf_dir, "documents")
+    # the pushable literal rank cap must dominate every per-source quota,
+    # so it is derived from the SAME scale constant the quota uses
     cap = spark.sql(
-        f"SELECT CAST(greatest(1, floor(4 * sqrt(max(n)))) AS BIGINT) AS c "
+        f"SELECT CAST(greatest(1, floor({TEMPERATURE_SCALE} * sqrt(max(n))))"
+        f" AS BIGINT) AS c "
         f"FROM (SELECT count(*) AS n FROM {v} GROUP BY source)"
     ).collect()[0]["c"]
     return spark.sql(sql_sample_temperature(v, "spark", cap=int(cap)))

@@ -14,8 +14,10 @@ Reference semantics re-expressed Spark-first
   → driver-side top-K with deterministic (count desc, tile_id asc)
   tiebreak; dropped tiles re-dissolve into their nearest surviving
   ancestor;
-- the cellToPile lookup grid (TileCatalog.h:74-82) → per-zoom broadcast
-  hash joins with COALESCE (deepest surviving tile wins).
+- the cellToPile lookup grid (TileCatalog.h:74-82) → ONE vectorized
+  broadcast lookup (functions/tile_lookup.py: sorted survivor-id array +
+  np.searchsorted per ladder zoom, deepest surviving tile wins) — no
+  join, no exchange.
 
 Scale notes: the cell-count aggregate stays distributed (≤16.7M groups
 worst case); only *survivor candidates* are collected (bounded by
@@ -27,15 +29,15 @@ shuffle on the big side.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import BuildSettings, tile_id as make_tile_id
+from ..config import LADDER, BuildSettings, tile_id as make_tile_id
 
-_LADDER = (12, 9, 6, 3)  # root (zoom 0) handled separately
+_LADDER = LADDER  # non-root zooms; root (zoom 0) handled separately
 
 
 @dataclass
@@ -44,9 +46,6 @@ class TileCatalog:
 
     settings: BuildSettings
     tiles: pd.DataFrame  # tile_id, zoom, col, row, node_count, parent_tile_id
-
-    def survivors(self, zoom: int) -> pd.DataFrame:
-        return self.tiles[self.tiles.zoom == zoom]
 
     def df(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(self.tiles).select(
