@@ -70,7 +70,15 @@ def save_tiles(
             f"mount the target or pass a local path (got {path!r})")
     if bbox is not None:
         hit, _ = tiles_for_bbox(catalog, *bbox)
-        sel = store.filter(F.col("tile_id").isin(hit))
+        # same pruning strategy as query/spatial.bbox_filter: small sets
+        # push down as an In-predicate; large ones (up to 65 535 tiles —
+        # too many literals for a sane plan) prune via broadcast semi-join
+        if len(hit) <= 256:
+            sel = store.filter(F.col("tile_id").isin(hit))
+        else:
+            hit_df = store.sparkSession.createDataFrame(
+                [(int(t),) for t in hit], "tile_id int")
+            sel = store.join(F.broadcast(hit_df), "tile_id", "left_semi")
     else:
         sel = store
     # same layout as the store (compile_tiles.write_store): contiguous
@@ -125,7 +133,21 @@ def _fetch_archive(url: str, cache_dir: str) -> str:
     base = url.rstrip("/")
     with urlopen(f"{base}/{MANIFEST}") as r:
         manifest = json.load(r)
-    with open(os.path.join(cache_dir, MANIFEST), "w") as f:
+    # a republished archive (same URL, new content) must invalidate the
+    # part cache: a stale part with a fresh manifest fails verify on
+    # every load forever (and verify=False would serve stale data
+    # silently).  The manifest carries per-tile checksums, so comparing
+    # manifests is comparing content identity.
+    mpath = os.path.join(cache_dir, MANIFEST)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            cached = json.load(f)
+        if cached != manifest:
+            import shutil
+
+            shutil.rmtree(os.path.join(cache_dir, "tiles"))
+            os.makedirs(os.path.join(cache_dir, "tiles"))
+    with open(mpath, "w") as f:
         json.dump(manifest, f)
     for name in manifest.get("files", []):
         if "/" in name or name.startswith("."):
@@ -151,7 +173,10 @@ def load_tiles(spark: SparkSession, path: str, verify: bool = True,
                cache_dir: str | None = None) -> DataFrame:
     """S6: read an archive back (local path or http(s):// URL), verifying
     per-tile checksums."""
-    if path.startswith(("http://", "https://")):
+    # file:// goes through the same fetch path — exercises the cache/
+    # invalidation logic without a web server (tests), and urlopen
+    # serves it natively
+    if path.startswith(("http://", "https://", "file://")):
         if cache_dir is None:
             import hashlib
             import tempfile

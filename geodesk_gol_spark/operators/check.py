@@ -123,10 +123,7 @@ def assert_store_ok(store: DataFrame, catalog,
         if r["n_bad"] > 0
     }
     if bad:
-        samples = {
-            name: _violations(store, catalog, exports, stubs)[name]
-            .limit(3).collect()
-            for name in bad
-        }
+        v = _violations(store, catalog, exports, stubs)
+        samples = {name: v[name].limit(3).collect() for name in bad}
         raise AssertionError(f"store integrity violations: {bad}; "
                              f"samples: {samples}")

@@ -36,10 +36,12 @@ def coord_str(col: str, precision: int = 7) -> Column:
 
 
 def _type_letter_col() -> Column:
+    # built from TYPE_LETTER so the mapping has one source of truth
+    (f0, l0), (f1, l1), (_, l2) = sorted(TYPE_LETTER.items())
     return (
-        F.when(F.col("ftype") == 0, "n")
-        .when(F.col("ftype") == 1, "w")
-        .otherwise("r")
+        F.when(F.col("ftype") == f0, l0)
+        .when(F.col("ftype") == f1, l1)
+        .otherwise(l2)
     )
 
 

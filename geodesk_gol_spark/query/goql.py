@@ -44,13 +44,22 @@ class GoqlError(ValueError):
 
 
 def _split_selectors(q: str) -> list[str]:
+    """Split on top-level commas — quote-aware: brackets and commas
+    inside '...'/"..." are literal text (a value like "a],b" must not
+    break the selector structure)."""
     parts, depth, cur = [], 0, []
+    quote = None
     for ch in q:
-        if ch == "[":
+        if quote is not None:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "[":
             depth += 1
         elif ch == "]":
             depth -= 1
-        if ch == "," and depth == 0:
+        if ch == "," and depth == 0 and quote is None:
             parts.append("".join(cur))
             cur = []
         else:
@@ -84,6 +93,12 @@ def _unquote(v: str) -> tuple[str, bool]:
     v = v.strip()
     if len(v) >= 2 and v[0] in "'\"" and v[-1] == v[0]:
         return v[1:-1], True
+    # a BARE token containing a quote is a malformed quoted value the
+    # regex backtracked into (e.g. [k='a'b] → raw "'a'b"): reject loudly
+    # like the reference's parser instead of matching a literal-with-
+    # quotes that can never occur in tag data
+    if "'" in v or '"' in v:
+        raise GoqlError(f"malformed quoted value: {v!r}")
     return v, False
 
 
@@ -170,10 +185,8 @@ def _selector_col(sel: str) -> Column:
         else:
             clause = _value_clause(key, op, raw)
         cond = cond & clause
-        matched_len += len(cm.group(0))
-    if len(re.sub(r"\s", "", rest)) != len(
-        re.sub(r"\s", "", "".join(c.group(0) for c in _CLAUSE_RE.finditer(rest)))
-    ):
+        matched_len += len(re.sub(r"\s", "", cm.group(0)))
+    if len(re.sub(r"\s", "", rest)) != matched_len:
         raise GoqlError(f"unparsed clause text in {sel!r}")
     return cond
 

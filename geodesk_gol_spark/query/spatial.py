@@ -105,12 +105,16 @@ def point_in_polygon_udf(poly_xy: list[tuple[float, float]]):
         xs = x.to_numpy(dtype=np.float64)
         ys = y.to_numpy(dtype=np.float64)
         inside = np.zeros(len(xs), dtype=bool)
-        for i in range(len(px) - 1):
-            x0, y0, x1, y1 = px[i], py[i], px[i + 1], py[i + 1]
-            crosses = ((y0 > ys) != (y1 > ys)) & (
-                xs < (x1 - x0) * (ys - y0) / (y1 - y0) + x0
-            )
-            inside ^= crosses
+        # horizontal edges (y1 == y0) divide by zero; their crossing
+        # mask is False anyway — silence the IEEE warning so an
+        # np.seterr(divide='raise') environment can't kill the job
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for i in range(len(px) - 1):
+                x0, y0, x1, y1 = px[i], py[i], px[i + 1], py[i + 1]
+                crosses = ((y0 > ys) != (y1 > ys)) & (
+                    xs < (x1 - x0) * (ys - y0) / (y1 - y0) + x0
+                )
+                inside ^= crosses
         return pd.Series(inside)
 
     return pip
@@ -177,20 +181,25 @@ def _segment_polygon_arrays(px, py, ax, ay, bx, by):
     degenerate (collinear / on-vertex) configurations."""
     cross = np.zeros(len(ax), dtype=bool)
     inside = np.zeros(len(ax), dtype=bool)
-    for i in range(len(px) - 1):
-        qx0, qy0, qx1, qy1 = px[i], py[i], px[i + 1], py[i + 1]
-        ex, ey = qx1 - qx0, qy1 - qy0
-        # proper segment-segment crossing: opposite orientation signs
-        d1 = ex * (ay - qy0) - ey * (ax - qx0)
-        d2 = ex * (by - qy0) - ey * (bx - qx0)
-        d3 = (bx - ax) * (qy0 - ay) - (by - ay) * (qx0 - ax)
-        d4 = (bx - ax) * (qy1 - ay) - (by - ay) * (qx1 - ax)
-        cross |= (d1 * d2 < 0) & (d3 * d4 < 0)
-        # even-odd PIP of the segment start
-        hits = ((qy0 > ay) != (qy1 > ay)) & (
-            ax < (qx1 - qx0) * (ay - qy0) / (qy1 - qy0) + qx0
-        )
-        inside ^= hits
+    # horizontal edges (qy1 == qy0) divide by zero in the PIP term; the
+    # crossing mask is False there — silence the IEEE warning so an
+    # np.seterr environment can't kill the job (rectilinear polygons,
+    # like the gate's own L-shape, hit this on every other edge)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for i in range(len(px) - 1):
+            qx0, qy0, qx1, qy1 = px[i], py[i], px[i + 1], py[i + 1]
+            ex, ey = qx1 - qx0, qy1 - qy0
+            # proper segment-segment crossing: opposite orientation signs
+            d1 = ex * (ay - qy0) - ey * (ax - qx0)
+            d2 = ex * (by - qy0) - ey * (bx - qx0)
+            d3 = (bx - ax) * (qy0 - ay) - (by - ay) * (qx0 - ax)
+            d4 = (bx - ax) * (qy1 - ay) - (by - ay) * (qx1 - ax)
+            cross |= (d1 * d2 < 0) & (d3 * d4 < 0)
+            # even-odd PIP of the segment start
+            hits = ((qy0 > ay) != (qy1 > ay)) & (
+                ax < (qx1 - qx0) * (ay - qy0) / (qy1 - qy0) + qx0
+            )
+            inside ^= hits
     return cross, inside
 
 
@@ -380,8 +389,9 @@ def knn_bruteforce(
 
 
 def _ring_pass(pts: DataFrame, queries: DataFrame, k: int, ring: int,
-               cell_bits: int) -> tuple[DataFrame, DataFrame]:
-    """One candidate-ring pass: (ranked top-k, q_ids provably final).
+               cell_bits: int) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One candidate-ring pass → (ranked top-k, q_ids provably final,
+    the pass's PERSISTED topk frame — the caller owns its unpersist).
 
     ``pts`` must already carry base-grid columns (cc, cr) at
     ``cell_bits`` — computed ONCE by the caller and shared by every
@@ -533,6 +543,22 @@ def knn_cell_rings(
     remaining = queries
     parts: list[DataFrame] = []
     topks: list[DataFrame] = []
+    try:
+        out = _knn_ring_passes(
+            base, points, remaining, parts, topks, k, ring, cell_bits,
+            escalations)
+    finally:
+        # release pass caches even when an action throws mid-query — a
+        # long-lived session must not accumulate a full point scan plus
+        # one topk frame per completed pass on every failed kNN call
+        base.unpersist()
+        for t in topks:
+            t.unpersist()
+    return out
+
+
+def _knn_ring_passes(base, points, remaining, parts, topks, k, ring,
+                     cell_bits, escalations) -> DataFrame:
     for i in range(escalations + 1):
         # coarsen 8× per pass: arithmetic shift of the persisted base
         # cells == floor division (holds for negatives), so every pass
@@ -560,12 +586,7 @@ def knn_cell_rings(
     for p in parts[1:]:
         out = out.unionByName(p)
     # ONE eager localCheckpoint of the final (small: k rows per query)
-    # result reuses every pass's still-cached rank frame, then releases
-    # all of them — a long-lived session running many kNN calls must not
-    # accumulate per-pass persists, and per-pass eager materialization
-    # was measured to cost 1.5-2× the whole query
-    out = out.localCheckpoint()
-    base.unpersist()
-    for t in topks:
-        t.unpersist()
-    return out
+    # result reuses every pass's still-cached rank frame; the caller's
+    # finally block then releases all pass caches (per-pass eager
+    # materialization was measured to cost 1.5-2× the whole query)
+    return out.localCheckpoint()

@@ -65,6 +65,28 @@ def test_archive_checksum_detects_corruption(spark, built, tmp_path):
         load_tiles(spark, path)
 
 
+def test_archive_republish_invalidates_part_cache(spark, built, tmp_path):
+    """Re-publishing an archive at the same URL must refetch changed
+    parts: a stale cached part with a fresh manifest would fail verify
+    forever (or serve stale data with verify=False)."""
+    res, store = built
+    pub = tmp_path / "published"
+    cache = str(tmp_path / "cache")
+    save_tiles(store, res.catalog, str(pub))
+    url = pub.as_uri()  # file:// — urlopen handles it like HTTP here
+    n1 = load_tiles(spark, url, verify=True, cache_dir=cache).count()
+    assert n1 == store.count()
+    # republish with DIFFERENT content (a subset) at the same location
+    import shutil
+
+    shutil.rmtree(pub)
+    sub = store.limit(200).persist()
+    save_tiles(sub, res.catalog, str(pub))
+    n2 = load_tiles(spark, url, verify=True, cache_dir=cache).count()
+    assert n2 == sub.count()  # stale parts replaced, checksums pass
+    sub.unpersist()
+
+
 def test_merge_archives_replaces_tiles(spark, built, tmp_path):
     res, store = built
     some_tile = store.select("tile_id").first()[0]

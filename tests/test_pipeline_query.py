@@ -129,9 +129,20 @@ def test_goql_quoted_key(built):
 
 
 def test_goql_errors():
-    for bad in ["", "x[foo]", "n[name>abc]", "n[!k=v]", "n[amenity=]"]:
+    for bad in ["", "x[foo]", "n[name>abc]", "n[!k=v]", "n[amenity=]",
+                # malformed quoting must fail loudly, not match a
+                # literal-with-quotes that can never occur in tag data
+                "n[k='a'b]", "n[name='x'y]"]:
         with pytest.raises(GoqlError):
             goql_to_column(bad)
+
+
+def test_goql_quotes_protect_structure_chars():
+    """']' and ',' inside a quoted value are literal text: the selector
+    splitter and clause scanner must not treat them as structure."""
+    assert goql_to_column('n[name="a],b"]') is not None
+    # a union selector after a quoted ']' still splits correctly
+    assert goql_to_column('n[name="x]y"],w[highway]') is not None
 
 
 def test_goql_value_list_is_union(built):
