@@ -420,6 +420,18 @@ def _q_p_members_of(spark, sf):
     return members_of(c["feats"]["relations"])
 
 
+def _q_p_members_role(spark, sf):
+    """Role-qualified member navigation: the reference's member queries
+    accept a role filter (GoqlParser role predicates; emission
+    XmlQueryPrinter.cpp:203-215).  Same join as p_members_of but the
+    role filter is pushed into the post-explode filter — only 'outer'
+    members survive."""
+    from geodesk_gol_spark.operators.info import members_of
+
+    c = ctx(spark, sf)
+    return members_of(c["feats"]["relations"], role="outer")
+
+
 def _q_p_parents_of(spark, sf):
     """Inverse navigation: direct parent relations of a deterministic
     way subset (way id % 500 == 0)."""
@@ -968,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o_info_summary": _q_o_info_summary,
         "p_get_by_id": _q_p_get_by_id,
         "p_members_of": _q_p_members_of,
+        "p_members_role": _q_p_members_role,
         "p_parents_of": _q_p_parents_of,
         "p1_goql_highway_names": _q_p1_goql_highway_names,
         "p1_goql_union": _q_p1_goql_union,
@@ -1161,6 +1174,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT rel_id * 4 + 2, seq, member_id * 4 + member_type,
                    'subarea'
             FROM s
+        """,
+        "p_members_role": f"""
+            WITH m AS ({sqlgen.relation_members_select()})
+            SELECT rel_id * 4 + 2 AS parent_typed_id, seq AS ordinal,
+                   member_id * 4 + member_type AS member_typed_id,
+                   'outer' AS role
+            FROM m WHERE seq = 0
         """,
         "p_parents_of": f"""
             WITH m AS ({sqlgen.relation_members_select()})

@@ -175,7 +175,22 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
     # so the per-pass actions schedule a handful of tasks, not one per
     # shuffle partition
     supers = edges.select("rel_id").distinct().coalesce(8).persist()
+
+    import os as _os
+    import time as _time
+
+    _timing = bool(_os.environ.get("SPARK_GRAFT_TIMING"))
+    _t0 = _time.time()
+
+    def _tick(label: str) -> None:
+        nonlocal _t0
+        if _timing:
+            now = _time.time()
+            print(f"[relext] {label}: {now - _t0:.1f}s", flush=True)
+            _t0 = now
+
     n_pending = supers.count()
+    _tick("supers.count")
 
     out_cols = ["rel_id", "n_members", "n_resolved", *_EXT_COLS,
                 "level", "refcycle"]
@@ -212,6 +227,7 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
     import os as _os
 
     j6_driver_max = int(_os.environ.get("SPARK_GRAFT_J6_DRIVER_MAX", "65536"))
+    _tick("setup")
 
     if n_pending:
         m_ext_sel = [F.col(c).alias(f"m_{c}") for c in _EXT_COLS]
@@ -340,6 +356,16 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
             # jobs (latency = max, not sum; ~2.4 s serialized at sf0.1)
             from concurrent.futures import ThreadPoolExecutor
 
+            # materialize the shared persisted parents ONCE before the
+            # concurrent collects: Spark's cache does not serialize
+            # concurrent first-computations, so five parallel jobs whose
+            # plans all reach through the unmaterialized nonrel_agg /
+            # resolved_all would each recompute the heavy member join
+            # (measured: 10.4 s racing vs ~4 s after this single pass
+            # at sf0.1).  resolved_all's chain covers nonrel_agg,
+            # simple_part and rm.
+            resolved_all.count()
+            _tick("pre-collect")
             with ThreadPoolExecutor(5) as pool:
                 f_tags = pool.submit(
                     lambda: relations.join(
@@ -375,6 +401,7 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
                 int(r.rel_id): int(r.n_nonrel)
                 for r in f_cnt.result().itertuples()
             }
+            _tick("collects")
             mem_ext = {
                 int(r.rel_id): (
                     [r.minc, r.minr, r.maxc, r.maxr,
@@ -464,6 +491,7 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
                             n_res += 1
                     cyc_resolved[s] = (ext, lv + 1, n_res)
                     still.discard(s)
+            _tick("python-resolve")
             rows = [
                 {
                     "rel_id": s, "n_members": drv[s]["n_members"],
@@ -494,6 +522,7 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
                                           "rel_id long")
                 ).distinct()
 
+    _tick("residue-union")
     rel_ext = resolved_all
 
     rel_ext = rel_ext.select(
@@ -517,10 +546,11 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
     # Measured at sf0.1: rel_ext.count 2.3 s → 0.06 s, the rel-homes
     # pass 4.4 s → 0.5 s.  Same treatment for unresolved (consumers
     # like J7 exports re-planned its anti-join chain on every use).
-    return (
-        rel_ext.hint("rebalance").localCheckpoint(eager=False),
-        unresolved.hint("rebalance").localCheckpoint(eager=False),
-    )
+    out_rel = rel_ext.hint("rebalance").localCheckpoint(eager=False)
+    _tick("ckpt-rel_ext")
+    out_unres = unresolved.hint("rebalance").localCheckpoint(eager=False)
+    _tick("ckpt-unresolved")
+    return out_rel, out_unres
 
 
 # ---------------------------------------------------------------------------
