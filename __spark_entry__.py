@@ -509,6 +509,29 @@ def _q_u3_save_subset(spark, sf):
     )
 
 
+def _q_o_dump_tiles(spark, sf):
+    """``gol dump-tiles`` analogue: write the per-tile text dump
+    (memoized, code+data fingerprinted), then read the TREE back via
+    partition discovery — the returned counts come from the on-disk
+    text files, so this row certifies the two-level hex folder fan-out
+    and file contents (reference layout DumpTilesCommand.cpp:12-40),
+    not just the frame that produced them."""
+    from geodesk_gol_spark.gate import derived_cache_dir
+    from geodesk_gol_spark.query.formats import dump_tiles, read_tile_dump
+
+    c = ctx(spark, sf)
+    path = derived_cache_dir(sf, "tiledump")
+    marker = path / "_DUMPED"
+    if not marker.exists():
+        dump_tiles(c["store"], str(path / "tree"))
+        marker.touch()
+    rows = read_tile_dump(spark, str(path / "tree"))
+    return rows.groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("line").endswith(" ghost").cast("long")).alias("n_ghosts"),
+    )
+
+
 def _q_p4_key_projection(spark, sf):
     """P4 -k key projection: csv-style (id, lon, lat, requested keys)."""
     from geodesk_gol_spark.query.formats import node_csv
@@ -974,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o9_check_corrupt": _q_o9_check_corrupt,
         "s5_archive_manifest": _q_s5_archive_manifest,
         "s6_archive_load": _q_s6_archive_load,
+        "o_dump_tiles": _q_o_dump_tiles,
         "u3_save_subset": _q_u3_save_subset,
         "p4_key_projection": _q_p4_key_projection,
         "a7_count_formats": _q_a7_count_formats,
@@ -1398,6 +1422,9 @@ def oracle_sql() -> dict[str, str]:
     # SQL; the round-trip itself is certified engine-side by the
     # checksum verify inside load_tiles (raises on any drift).
     o["s6_archive_load"] = o["s5_archive_manifest"]
+    # the dump is a different SINK over the same store rows — identical
+    # per-tile row/ghost counts certify it against the same oracle
+    o["o_dump_tiles"] = o["s5_archive_manifest"]
     # U3: same manifest counts restricted to tiles whose world-coordinate
     # square intersects _BB — the oracle recomputes the tile geometry
     # (span = 2^(31-zoom), corner = col·span) independently of

@@ -52,19 +52,34 @@ def node_points(nodes_projected: DataFrame) -> DataFrame:
     )
 
 
-def way_extents(ways: DataFrame, points: DataFrame) -> DataFrame:
+def way_extents(
+    ways: DataFrame, points: DataFrame, member_tiles: bool = False
+) -> DataFrame:
     """J2: explode way node lists, join node coords, aggregate extents.
 
     Output: (typed_id, id, n_members, n_resolved, minc, minr, maxc, maxr,
-             minx, miny, maxx, maxy)
+             minx, miny, maxx, maxy [, member_tiles]).
+
+    With ``member_tiles=True`` the ``points`` frame must also carry a
+    ``tile_id`` column (catalog.assign output) and the result gains a
+    ``member_tiles`` array — the distinct tiles holding the way's member
+    nodes, collected in the SAME groupBy.  This fuses J4's ghost fan-out
+    input into J2: the reference walks the member nodes once for both
+    purposes (Sorter.cpp:225-307 and 330-447); fusing saves a second
+    full explode+join over the member set plus a distinct shuffle.
     """
     wm = ways.select(
         "id", F.explode("node_ids").alias("node_id"), F.size("node_ids").alias("nm")
     )
+    point_cols = ["x", "y", "cell_col", "cell_row"]
+    aggs = []
+    if member_tiles:
+        point_cols.append("tile_id")
+        # collect_set skips nulls (unresolved member nodes) and dedupes
+        # map-side, so no separate distinct pass exists anywhere
+        aggs.append(F.collect_set("tile_id").alias("member_tiles"))
     j = wm.join(
-        points.select(
-            F.col("id").alias("node_id"), "x", "y", "cell_col", "cell_row"
-        ),
+        points.select(F.col("id").alias("node_id"), *point_cols),
         "node_id",
         "left",
     )
@@ -81,6 +96,7 @@ def way_extents(ways: DataFrame, points: DataFrame) -> DataFrame:
             F.min("y").alias("miny"),
             F.max("x").alias("maxx"),
             F.max("y").alias("maxy"),
+            *aggs,
         )
         .withColumn("typed_id", F.col("id") * 4 + TYPE_WAY)
         .filter(F.col("n_resolved") >= 1)
@@ -536,19 +552,21 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
     )
     # resolved_all is a union of per-level fragments whose logical plan
     # reaches back through the whole member join — every downstream
-    # action would pay (a) Catalyst re-planning that giant tree (~2 s of
-    # DRIVER time per action at sf0.1, even on a cache hit) and (b) one
-    # Python task per tiny union fragment in home_tiles' vectorized
-    # lookups.  REBALANCE lets AQE right-size partitions by bytes (one
-    # partition here, ~64 MB splits at planet scale) and the LAZY
-    # localCheckpoint collapses the plan to an RDD scan — the
-    # 1-row-per-relation shuffle is trivial next to the member join.
-    # Measured at sf0.1: rel_ext.count 2.3 s → 0.06 s, the rel-homes
-    # pass 4.4 s → 0.5 s.  Same treatment for unresolved (consumers
-    # like J7 exports re-planned its anti-join chain on every use).
-    out_rel = rel_ext.hint("rebalance").localCheckpoint(eager=False)
+    # action would pay Catalyst re-planning that giant tree (~2 s of
+    # DRIVER time per action at sf0.1, even on a cache hit).  The LAZY
+    # localCheckpoint collapses the plan to an RDD scan on first action.
+    # No REBALANCE hint: under AQE, localCheckpoint's toRdd materializes
+    # every exchange in the plan at CALL time, so a rebalance turns the
+    # "lazy" checkpoint into an extra eager shuffle job (measured 5.5 s
+    # at sf0.1); partition sizing is already governed upstream — the
+    # frame inherits the member-join aggregation's shuffle partitioning
+    # (spark.sql.shuffle.partitions), ~75 MB/partition even at planet
+    # scale (12M relations × ~100 B / 16).  Same treatment for
+    # unresolved (consumers like J7 exports re-planned its anti-join
+    # chain on every use).
+    out_rel = rel_ext.localCheckpoint(eager=False)
     _tick("ckpt-rel_ext")
-    out_unres = unresolved.hint("rebalance").localCheckpoint(eager=False)
+    out_unres = unresolved.localCheckpoint(eager=False)
     _tick("ckpt-unresolved")
     return out_rel, out_unres
 
@@ -638,30 +656,33 @@ def assign_features(
 
     nodes = feats["nodes"]
     proj = with_projection(nodes)
-    points = node_points(proj).persist()
+    # ONE cached node frame carries coords, cells AND tile: catalog.assign
+    # is a narrow vectorized map (no join), so J1's lookup runs once and
+    # every node consumer — node_tiles, the way-member join, base extents
+    # — projects from the same cache instead of caching nodes twice
+    assigned = catalog.assign(node_points(proj)).persist()
+    points = assigned.drop("tile_id")
 
     node_tiles = (
-        catalog.assign(points)
+        assigned
         .select("typed_id", "id", "tile_id")
         .withColumn("is_ghost", F.lit(False))
         .withColumn("twin", F.lit(0))
-    ).persist()
+    )
 
-    wext = way_extents(feats["ways"], points).persist()
+    # J2 + J4 input in ONE pass over the exploded member set: the node
+    # frame entering the way join carries its tile, so the same groupBy
+    # that aggregates extents also collects the distinct member-node
+    # tiles.  Previously J4 re-exploded all ways and re-joined a
+    # node-sized frame, then paid a distinct shuffle — a second full
+    # pass over the member set that a 100 TB build feels.
+    wext = way_extents(feats["ways"], assigned, member_tiles=True).persist()
     way_homes = home_tiles(wext, catalog).persist()
 
-    # J4 ghosts: tiles holding member nodes, minus the home tiles
-    wm = feats["ways"].select(
-        (F.col("id") * 4 + TYPE_WAY).alias("typed_id"),
-        F.explode("node_ids").alias("node_id"),
-    )
-    node_tile_by_id = node_tiles.select(
-        F.col("id").alias("node_id"), F.col("tile_id").alias("ntile")
-    )
+    # J4 ghosts: member-node tiles minus the home tiles — narrow explode
+    # over the (small, cached) per-way aggregate
     way_ghosts = (
-        wm.join(node_tile_by_id, "node_id")
-        .select("typed_id", F.col("ntile").alias("tile_id"))
-        .distinct()
+        wext.select("typed_id", F.explode("member_tiles").alias("tile_id"))
         .join(
             way_homes.select("typed_id", "tile_id"),
             ["typed_id", "tile_id"],

@@ -210,3 +210,59 @@ def format_result(
         f"invalid format: {fmt!r} (expected one of "
         f"count, list, geojsonl, wkt, csv, xml)"
     )
+
+
+def dump_tiles(store: DataFrame, out_dir: str) -> None:
+    """Per-tile text dump — the ``gol dump-tiles`` analogue.
+
+    The reference writes one text file per tile under a hex folder
+    fan-out ``<gol>-tiles/<prefix>/<tile>.txt`` (DumpTilesCommand.cpp:
+    12-40, prefix = tip >> 12 as 3 hex digits).  Spark shape:
+    ``partitionBy(prefix, tile_hex)`` reproduces the two-level tree,
+    ``repartition(tile_hex)`` keeps each tile's lines in one writer
+    task, and ``sortWithinPartitions`` orders lines (ftype, id, ghost)
+    per file without a global sort — the layout stays one-task-per-
+    tile-group at any tile count (≤65 535 dirs, bounded by max_tiles).
+
+    Line format: ``<n|w|r>/<id>`` with `` ghost`` appended for ghost
+    copies.  Read back with ``read_tile_dump``.
+    """
+    kinds = F.element_at(
+        F.array(F.lit("n"), F.lit("w"), F.lit("r")),
+        (F.col("typed_id") % 4 + 1).cast("int"),
+    )
+    lines = (
+        store.select(
+            "tile_id",
+            "typed_id",
+            F.coalesce(F.col("is_ghost"), F.lit(False)).alias("is_ghost"),
+        )
+        .distinct()
+        .select(
+            F.format_string("%03X", F.shiftright("tile_id", 12)).alias("prefix"),
+            F.format_string("%08X", F.col("tile_id")).alias("tile_hex"),
+            (F.col("typed_id") % 4).alias("ftype"),
+            F.shiftright("typed_id", 2).alias("fid"),
+            F.format_string(
+                "%s/%d%s",
+                kinds,
+                F.shiftright("typed_id", 2),
+                F.when(F.col("is_ghost"), F.lit(" ghost")).otherwise(F.lit("")),
+            ).alias("value"),
+        )
+        .repartition("tile_hex")
+        .sortWithinPartitions("tile_hex", "ftype", "fid", "value")
+        .select("prefix", "tile_hex", "value")
+    )
+    lines.write.mode("overwrite").partitionBy("prefix", "tile_hex").text(out_dir)
+
+
+def read_tile_dump(spark, out_dir: str) -> DataFrame:
+    """Read a dump_tiles tree back: (tile_id, line) — partition
+    discovery recovers prefix/tile_hex from the folder names, proving
+    the on-disk layout, not just the frame that produced it."""
+    raw = spark.read.format("text").load(out_dir)
+    return raw.select(
+        F.conv("tile_hex", 16, 10).cast("int").alias("tile_id"),
+        F.col("value").alias("line"),
+    )
