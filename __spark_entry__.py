@@ -861,6 +861,21 @@ def _q_f9_geojson_cafes(spark, sf):
     return nodes.selectExpr("id", f"{_GEOJSON_EXPR} AS line")
 
 
+def _q_f_brief(spark, sf):
+    """-f brief — the reference's DEFAULT output format: a ``node/<id>``
+    header plus ``  key = value`` tag lines padded to the widest key
+    (BriefQueryPrinter.cpp:52-75).  Deterministic spec deviations
+    (documented in node_brief): sorted keys, per-feature alignment, no
+    ANSI colors.  Subset: every 7th node; the id is embedded in the
+    block, so the single text column is hash-stable."""
+    from geodesk_gol_spark.query.formats import node_brief
+
+    c = ctx(spark, sf)
+    return node_brief(
+        c["feats"]["nodes"].filter(F.col("id") % 7 == 0).select("id", "tags")
+    )
+
+
 def _q_f10_precision(spark, sf):
     c = ctx(spark, sf)
     return c["feats"]["nodes"].filter(F.col("id") % 100 == 0).selectExpr(
@@ -1023,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f7_area_ways": _q_f7_area_ways,
         "f8_closed_rings": _q_f8_closed_rings,
         "f9_geojson_cafes": _q_f9_geojson_cafes,
+        "f_brief": _q_f_brief,
         "f10_precision": _q_f10_precision,
         "knn_brute": _q_knn_brute,
         "knn_rings": _q_knn_rings,
@@ -1404,6 +1420,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, {sqlgen.coord_str_expr('lon100nd', 3)} AS lon3,
                    {sqlgen.coord_str_expr('lat100nd', 3)} AS lat3
             FROM ({sqlgen.nodes_select()}) WHERE id % 100 = 0
+        """,
+        # brief reconstructed from the 4 known node tag keys in sorted
+        # order (addr:street < amenity < highway < name); kw = widest
+        # PRESENT key, matching node_brief's per-feature alignment
+        "f_brief": f"""
+            SELECT concat(
+                'node/', CAST(id AS VARCHAR),
+                CASE WHEN kw > 0 THEN chr(10) ELSE '' END,
+                concat_ws(chr(10),
+                  CASE WHEN addr_street IS NOT NULL THEN
+                    '  ' || rpad('addr:street', CAST(kw AS INTEGER), ' ') || ' = ' ||
+                    addr_street END,
+                  CASE WHEN amenity IS NOT NULL THEN
+                    '  ' || rpad('amenity', CAST(kw AS INTEGER), ' ') || ' = ' || amenity END,
+                  CASE WHEN highway IS NOT NULL THEN
+                    '  ' || rpad('highway', CAST(kw AS INTEGER), ' ') || ' = ' || highway END,
+                  CASE WHEN name IS NOT NULL THEN
+                    '  ' || rpad('name', CAST(kw AS INTEGER), ' ') || ' = ' || name END
+                )) AS block
+            FROM (
+              SELECT *, greatest(
+                CASE WHEN addr_street IS NOT NULL THEN 11 ELSE 0 END,
+                CASE WHEN amenity IS NOT NULL THEN 7 ELSE 0 END,
+                CASE WHEN highway IS NOT NULL THEN 7 ELSE 0 END,
+                CASE WHEN name IS NOT NULL THEN 4 ELSE 0 END) AS kw
+              FROM ({sqlgen.nodes_select()}) WHERE id % 7 = 0
+            )
         """,
         "knn_brute": _ORACLE_KNN,
         "knn_rings": _ORACLE_KNN,

@@ -175,7 +175,28 @@ def _materialize(spark: SparkSession, sf_dir: str) -> Path:
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+    _prune_stale(d)
     return d
+
+
+def _prune_stale(current: Path) -> None:
+    """Drop cache dirs for the same sf with a DIFFERENT fingerprint —
+    every code or data change mints a new fingerprint and the old dirs
+    (plus their derived archive/tiledump caches) are unreachable
+    forever.  Only siblings sharing this sf's name-prefix are touched;
+    in-flight .tmp.<pid> staging dirs of live builders are left alone."""
+    import shutil
+
+    root = current.parent
+    sf_name = current.name.split("-", 1)[0]
+    for p in root.iterdir():
+        if p == current or ".tmp." in p.name:
+            continue
+        stem = p.name.split("-", 1)[0]
+        # ctx caches: "<sf>-..."; derived caches: "<prefix>_<sf>-..."
+        if stem == sf_name or stem.endswith(f"_{sf_name}"):
+            if not p.name.endswith(current.name.split("-", 1)[1]):
+                shutil.rmtree(p, ignore_errors=True)
 
 
 def ctx(spark: SparkSession, sf_dir: str) -> dict:

@@ -557,16 +557,21 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
     # localCheckpoint collapses the plan to an RDD scan on first action.
     # No REBALANCE hint: under AQE, localCheckpoint's toRdd materializes
     # every exchange in the plan at CALL time, so a rebalance turns the
-    # "lazy" checkpoint into an extra eager shuffle job (measured 5.5 s
-    # at sf0.1); partition sizing is already governed upstream — the
-    # frame inherits the member-join aggregation's shuffle partitioning
+    # checkpoint into an extra shuffle job (measured 5.5 s at sf0.1);
+    # partition sizing is already governed upstream — the frame inherits
+    # the member-join aggregation's shuffle partitioning
     # (spark.sql.shuffle.partitions), ~75 MB/partition even at planet
-    # scale (12M relations × ~100 B / 16).  Same treatment for
-    # unresolved (consumers like J7 exports re-planned its anti-join
+    # scale (12M relations × ~100 B / 16).  EAGER: callers fan the
+    # outputs into CONCURRENT jobs (bench/gate write feature_tiles and
+    # extents in parallel) and a lazy checkpoint's first-action
+    # materialization does not serialize concurrent computers — each
+    # racing job recomputes the full relation chain.  The eager pass
+    # runs over already-cached parents (~1 s at sf0.1).  Same treatment
+    # for unresolved (consumers like J7 exports re-planned its anti-join
     # chain on every use).
-    out_rel = rel_ext.localCheckpoint(eager=False)
+    out_rel = rel_ext.localCheckpoint(eager=True)
     _tick("ckpt-rel_ext")
-    out_unres = unresolved.localCheckpoint(eager=False)
+    out_unres = unresolved.localCheckpoint(eager=True)
     _tick("ckpt-unresolved")
     return out_rel, out_unres
 

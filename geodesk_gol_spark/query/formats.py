@@ -57,11 +57,9 @@ def count_result(features: DataFrame) -> int:
     return features.count()
 
 
-def node_geojsonl(nodes: DataFrame, precision: int = 7) -> DataFrame:
-    """One GeoJSON Feature per line for point features.
-
-    Expects columns: id, lon100nd, lat100nd, tags.
-    """
+def node_geojsonl_line(precision: int = 7) -> Column:
+    """The per-feature GeoJSON line as a Column (over id, lon100nd,
+    lat100nd, tags) — shared by the geojsonl and geojson sinks."""
     geometry = F.concat(
         F.lit('{"type":"Point","coordinates":['),
         coord_str("lon100nd", precision),
@@ -70,17 +68,23 @@ def node_geojsonl(nodes: DataFrame, precision: int = 7) -> DataFrame:
         F.lit("]}"),
     )
     props = F.coalesce(F.to_json(F.col("tags")), F.lit("{}"))
-    return nodes.select(
-        F.concat(
-            F.lit('{"type":"Feature","id":'),
-            F.col("id").cast("string"),
-            F.lit(',"properties":'),
-            props,
-            F.lit(',"geometry":'),
-            geometry,
-            F.lit("}"),
-        ).alias("line")
+    return F.concat(
+        F.lit('{"type":"Feature","id":'),
+        F.col("id").cast("string"),
+        F.lit(',"properties":'),
+        props,
+        F.lit(',"geometry":'),
+        geometry,
+        F.lit("}"),
     )
+
+
+def node_geojsonl(nodes: DataFrame, precision: int = 7) -> DataFrame:
+    """One GeoJSON Feature per line for point features.
+
+    Expects columns: id, lon100nd, lat100nd, tags.
+    """
+    return nodes.select(node_geojsonl_line(precision).alias("line"))
 
 
 def node_wkt(nodes: DataFrame, precision: int = 7) -> DataFrame:
@@ -173,6 +177,43 @@ def node_xml(nodes: DataFrame, precision: int = 7) -> DataFrame:
     )
 
 
+def node_brief(nodes: DataFrame) -> DataFrame:
+    """-f brief — the reference's DEFAULT console format: a header line
+    ``node/<id>`` followed by ``  <key> = <value>`` per tag, keys
+    space-padded to the widest key (BriefQueryPrinter.cpp:52-75).
+
+    Deterministic deviations from the console printer (documented spec):
+    no ANSI colors, key alignment is per-feature (the reference aligns
+    per 64-feature console batch — an output-order-dependent cosmetic),
+    and tags print in sorted key order (the reference prints tag-table
+    storage order).  One row per feature; the block is one string.
+    """
+    ftype = F.col("ftype") if "ftype" in nodes.columns else F.lit(0)
+    nodes = nodes.withColumn(
+        "tags", F.coalesce(F.col("tags"), F.expr("map()"))
+    )
+    return nodes.withColumn("_ft", ftype.cast("int")).select(
+        F.expr(
+            r"""
+            concat(
+              element_at(array('node','way','relation'), _ft + 1), '/', id,
+              CASE WHEN size(map_entries(tags)) > 0 THEN '\n' ELSE '' END,
+              array_join(
+                transform(
+                  array_sort(map_entries(tags)),
+                  e -> concat(
+                    '  ', e.key,
+                    repeat(' ',
+                           aggregate(map_entries(tags), 0,
+                                     (a, x) -> greatest(a, length(x.key)))
+                           - length(e.key)),
+                    ' = ', e.value)),
+                '\n'))
+            """
+        ).alias("block")
+    )
+
+
 class InvalidFormatError(ValueError):
     """Unknown -f format name (the reference exits 2 with an "invalid"
     message, src/gol/QueryCommand.cpp:103-148; test protocol
@@ -192,14 +233,42 @@ def format_result(
     before any job runs — mirroring the reference's argument validation.
     """
     fmt = fmt.lower()
+    # reference alias table (QueryCommand.cpp:180-199): json→geojson,
+    # jsonl/ndjson→geojsonl
+    fmt = {"json": "geojson", "jsonl": "geojsonl", "ndjson": "geojsonl"}.get(
+        fmt, fmt
+    )
     if fmt == "count":
         return count_result(nodes)
+    if fmt == "brief":
+        return node_brief(nodes)
     if fmt == "list":
         if "ftype" not in nodes.columns:
             nodes = nodes.withColumn("ftype", F.lit(0))
         return id_list(nodes)
     if fmt == "geojsonl":
         return node_geojsonl(nodes, precision)
+    if fmt == "geojson":
+        # one FeatureCollection document (vs one Feature per line),
+        # features in id order — the sort happens INSIDE the aggregate
+        # (array_sort over (id, line) structs): a pre-agg orderBy would
+        # not survive collect_list's partition merge
+        return (
+            nodes.select("id", node_geojsonl_line(precision).alias("line"))
+            .agg(
+                F.concat(
+                    F.lit('{"type":"FeatureCollection","features":['),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("id", "line"))),
+                            lambda s: s["line"],
+                        ),
+                        ",",
+                    ),
+                    F.lit("]}"),
+                ).alias("line")
+            )
+        )
     if fmt == "wkt":
         return node_wkt(nodes, precision)
     if fmt == "csv":
@@ -208,7 +277,8 @@ def format_result(
         return node_xml(nodes, precision)
     raise InvalidFormatError(
         f"invalid format: {fmt!r} (expected one of "
-        f"count, list, geojsonl, wkt, csv, xml)"
+        f"brief, count, list, geojson, geojsonl, json, jsonl, ndjson, "
+        f"wkt, csv, xml)"
     )
 
 

@@ -189,3 +189,40 @@ def test_format_dispatch_and_invalid(spark):
         "id", "lon", "lat", "amenity"]
     with pytest.raises(InvalidFormatError, match="invalid"):
         format_result(nodes, "bananas")
+
+
+def test_format_brief_geojson_and_aliases(spark):
+    """brief (the reference default), geojson (one FeatureCollection
+    document, id-ordered) and the alias table json/jsonl/ndjson
+    (QueryCommand.cpp:180-199)."""
+    from geodesk_gol_spark.query.formats import format_result
+
+    nodes = spark.createDataFrame(
+        [
+            (2, 110000000, 210000000, {"name": "B", "amenity": "pub"}),
+            (1, 100000000, 200000000, {"amenity": "cafe"}),
+            (3, 120000000, 220000000, {}),
+        ],
+        "id long, lon100nd long, lat100nd long, tags map<string,string>",
+    )
+    briefs = {
+        r[0] for r in format_result(nodes, "brief").collect()
+    }
+    # sorted keys, padded to the widest present key, header-only when
+    # the feature has no tags
+    assert "node/1\n  amenity = cafe" in briefs
+    assert "node/2\n  amenity = pub\n  name    = B" in briefs
+    assert "node/3" in briefs
+
+    doc = format_result(nodes, "geojson").collect()[0][0]
+    assert doc.startswith('{"type":"FeatureCollection","features":[')
+    assert doc.index('"id":1') < doc.index('"id":2') < doc.index('"id":3')
+
+    import json as _json
+
+    _json.loads(doc)  # well-formed
+    for alias, canon in (("json", "geojson"), ("jsonl", "geojsonl"),
+                         ("ndjson", "geojsonl")):
+        a = sorted(r[0] for r in format_result(nodes, alias).collect())
+        c = sorted(r[0] for r in format_result(nodes, canon).collect())
+        assert a == c

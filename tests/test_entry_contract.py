@@ -55,3 +55,25 @@ def test_query_matches_oracle(spark, duck, name):
     g = got.toPandas()
     keys = list(sorted(g.columns))
     assert_frames_equal(g, want, keys)
+
+
+def test_gatecache_prunes_stale_fingerprints(tmp_path):
+    """A fresh ctx build removes sibling caches of the SAME sf with a
+    different (code, data) fingerprint — every code change mints a new
+    fingerprint and the old dirs are unreachable forever — while other
+    SFs, same-fingerprint derived caches, and in-flight .tmp.<pid>
+    staging dirs survive."""
+    from geodesk_gol_spark.gate import _prune_stale
+
+    names = [
+        "sf0.01-NEW-D", "sf0.01-OLD-D", "sf0.001-OLD-D",
+        "archive_sf0.01-OLD-D", "archive_sf0.01-NEW-D",
+        "archive_sf0.001-OLD-D", "sf0.01-OLD-D.tmp.123",
+    ]
+    for n in names:
+        (tmp_path / n).mkdir()
+    _prune_stale(tmp_path / "sf0.01-NEW-D")
+    assert sorted(p.name for p in tmp_path.iterdir()) == sorted([
+        "sf0.01-NEW-D", "sf0.001-OLD-D", "archive_sf0.01-NEW-D",
+        "archive_sf0.001-OLD-D", "sf0.01-OLD-D.tmp.123",
+    ])
