@@ -426,6 +426,47 @@ def sql_text_chunks(t: str, d: str, win: int = 64, step: int = 48) -> str:
     """
 
 
+def sql_pack_sequences(t: str, d: str, cap: int = 64) -> str:
+    """Concat-and-chunk sequence packing — how GPT-style pretraining
+    turns cleaned documents into fixed-capacity training sequences:
+    per source, documents concatenate in doc_id order and split at
+    every ``cap`` tokens; a document crossing a boundary contributes a
+    segment to every sequence it touches (zero padding waste, fully
+    deterministic).  Output: one row per (doc, sequence) with the
+    segment's offset inside the sequence and its token count.
+
+    Spark shape: ONE window cumsum per source partition (parallel
+    across sources — the unit real pipelines shard packing by), then a
+    narrow explode over the ≤ toks/cap+1 sequences each doc touches.
+    At 100 TB a source bigger than one partition additionally
+    sub-shards by doc_id range and offsets each shard's cumsum with a
+    broadcast prefix — same arithmetic, two passes, still no global
+    sort."""
+    toks = list_len(split_ws("text", d), d)
+    base = (f"SELECT source, doc_id, CAST({toks} AS BIGINT) AS toks "
+            f"FROM {t} WHERE {toks} >= 1")
+    cum = (f"SELECT source, doc_id, toks, "
+           f"SUM(toks) OVER (PARTITION BY source ORDER BY doc_id "
+           f"ROWS UNBOUNDED PRECEDING) AS cum_end FROM ({base})")
+    spans = (f"SELECT source, doc_id, toks, cum_end, "
+             f"cum_end - toks AS cum_start, "
+             f"CAST(floor((cum_end - toks) / {cap}.0) AS BIGINT) AS s0, "
+             f"CAST(floor((cum_end - 1) / {cap}.0) AS BIGINT) AS s1 "
+             f"FROM ({cum})")
+    if d == "spark":
+        src = f"({spans}) LATERAL VIEW explode(sequence(s0, s1)) u AS s"
+    else:
+        src = f"(SELECT *, unnest(range(s0, s1 + 1)) AS s FROM ({spans}))"
+    return f"""
+    SELECT source, doc_id, CAST(s AS BIGINT) AS seq_id,
+           CAST(greatest(cum_start, s * {cap}) - s * {cap} AS BIGINT)
+             AS seq_offset,
+           CAST(least(cum_end, (s + 1) * {cap})
+                - greatest(cum_start, s * {cap}) AS BIGINT) AS seg_tokens
+    FROM {src}
+    """
+
+
 def sql_text_langid(t: str, d: str) -> str:
     return f"""
     SELECT doc_id, lang,
@@ -1321,6 +1362,7 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": _sql_query(sql_text_decontaminate, "documents"),
         "text_repetition": _sql_query(sql_text_repetition, "documents"),
         "text_chunks": _sql_query(sql_text_chunks, "documents"),
+        "pack_sequences": _sql_query(sql_pack_sequences, "documents"),
         "text_langid": _sql_query(sql_text_langid, "documents"),
         "text_quality": _sql_query(sql_text_quality, "documents"),
         "text_tokens_by_lang": _sql_query(sql_text_tokens_by_lang, "documents"),
@@ -1378,6 +1420,7 @@ def ml_oracle_sql() -> dict[str, str]:
         "text_decontaminate": sql_text_decontaminate("documents", "duck"),
         "text_repetition": sql_text_repetition("documents", "duck"),
         "text_chunks": sql_text_chunks("documents", "duck"),
+        "pack_sequences": sql_pack_sequences("documents", "duck"),
         "text_langid": sql_text_langid("documents", "duck"),
         "text_quality": sql_text_quality("documents", "duck"),
         "text_tokens_by_lang": sql_text_tokens_by_lang("documents", "duck"),
