@@ -135,3 +135,57 @@ def test_text_chunks_boundaries_match_python_model(words, win, step):
                 % 1000000007
         want.append((1, i, min(win, n - i * step), acc))
     assert got == sorted(want)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]),
+                  st.integers(1, 30)),  # (source, token count)
+        min_size=1, max_size=20,
+    ),
+    cap=st.integers(2, 16),
+)
+def test_pack_sequences_matches_python_model(docs, cap):
+    """Concat-and-chunk packing equals an independent Python model for
+    arbitrary per-source document streams: per doc the segments sum to
+    its token count, per sequence the segments sum to <= cap (== cap
+    for every non-final sequence of a source), and offsets/boundaries
+    match exact integer arithmetic.  DuckDB dialect only — Spark↔DuckDB
+    equality of the same template is the gate's job."""
+    import duckdb
+
+    from geodesk_gol_spark.gate_ml import sql_pack_sequences
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(source VARCHAR, doc_id BIGINT, text VARCHAR)")
+    for i, (src, toks) in enumerate(docs):
+        con.execute("INSERT INTO t VALUES (?, ?, ?)",
+                    [src, i, " ".join(["w"] * toks)])
+    got = sorted(map(tuple, con.execute(
+        sql_pack_sequences("t", "duck", cap=cap)).fetchall()))
+
+    want = []
+    for src in ("a", "b"):
+        cum = 0
+        for i, (s, toks) in enumerate(docs):
+            if s != src:
+                continue
+            start, end = cum, cum + toks
+            cum = end
+            for seq in range(start // cap, (end - 1) // cap + 1):
+                lo, hi = max(start, seq * cap), min(end, (seq + 1) * cap)
+                want.append((src, i, seq, lo - seq * cap, hi - lo))
+    assert got == sorted(want)
+    # per-doc conservation and per-seq capacity
+    by_doc: dict[int, int] = {}
+    by_seq: dict[tuple, int] = {}
+    for src, doc, seq, off, n in got:
+        assert n >= 1 and 0 <= off < cap
+        by_doc[doc] = by_doc.get(doc, 0) + n
+        by_seq[(src, seq)] = by_seq.get((src, seq), 0) + n
+    for i, (_, toks) in enumerate(docs):
+        assert by_doc[i] == toks
+    for (src, seq), n in by_seq.items():
+        last = max(s for s_, s in by_seq if s_ == src)
+        assert n == cap or seq == last
