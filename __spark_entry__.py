@@ -919,6 +919,37 @@ def _q_a2_string_freq(spark, sf):
     )
 
 
+def _q_s9_map_roundtrip(spark, sf):
+    """S9 with teeth: render the Leaflet HTML map for a deterministic
+    cafe subset (GeoJSON lines carrying a templated ``_popup``
+    property), then regex the popups back OUT of the rendered document
+    — the returned rows come from the sink ARTIFACT, so this row
+    certifies the collected HTML, not the frame that fed it (the
+    reference renders layers + template popups driver-side,
+    MapCommand.cpp:133-258, TextTemplate fill :103-130; our render_map
+    is the same bounded driver-side printer)."""
+    import re as _re
+
+    from geodesk_gol_spark.query.map import render_map, template_col
+
+    c = ctx(spark, sf)
+    nodes = c["feats"]["nodes"].filter(
+        (F.col("tags")["amenity"] == "cafe") & (F.col("id") % 5 == 0)
+    )
+    lines = nodes.select(
+        F.concat(
+            F.lit('{"type":"Feature","id":'),
+            F.col("id").cast("string"),
+            F.lit(',"properties":{"_popup":"'),
+            template_col("{name} ({id})"),
+            F.lit('"},"geometry":null}'),
+        ).alias("line")
+    )
+    html = render_map(lines)
+    pops = _re.findall(r'"_popup":"([^"]*)"', html)
+    return spark.createDataFrame([(p,) for p in pops], "popup string")
+
+
 def _q_f11_template(spark, sf):
     from geodesk_gol_spark.query.map import template_col
 
@@ -1046,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_zonal_stats": _q_raster_zonal_stats,
         "a2_string_freq": _q_a2_string_freq,
         "f11_template": _q_f11_template,
+        "s9_map_roundtrip": _q_s9_map_roundtrip,
     }
     from geodesk_gol_spark.gate_ml import ml_queries
 
@@ -1453,6 +1485,11 @@ def oracle_sql() -> dict[str, str]:
         "raster_vector_join": _ORACLE_RASTER,
         "raster_zonal_stats": _oracle_raster_zonal(),
         "a2_string_freq": _ORACLE_STRING_FREQ,
+        "s9_map_roundtrip": f"""
+            SELECT coalesce(name, '') || ' (' || CAST(id AS VARCHAR) || ')' AS popup
+            FROM ({sqlgen.nodes_select()})
+            WHERE amenity = 'cafe' AND id % 5 = 0
+        """,
         "f11_template": f"""
             SELECT id, concat(name, ' (', CAST(id AS STRING), ')') AS line
             FROM ({sqlgen.nodes_select()}) WHERE name IS NOT NULL
