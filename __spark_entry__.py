@@ -950,6 +950,37 @@ def _q_s9_map_roundtrip(spark, sf):
     return spark.createDataFrame([(p,) for p in pops], "popup string")
 
 
+def _q_a8_build_metrics(spark, sf):
+    """A8 with teeth: run the FULL resumable pipeline once (memoized,
+    code+data fingerprinted — re-runs resume off the stage _SUCCESS
+    markers), then read ``metrics.jsonl`` back OFF DISK and return the
+    skew-evidence row.  The values certify the pipeline's recorded
+    lineage/metrics table (north-rule requirement), not a recomputed
+    aggregate: a build that wrote wrong or no metrics fails this row
+    even if its store is fine.  p50 is excluded (percentile_approx vs
+    exact-median tie-breaking differs across engines by spec)."""
+    import json as _json
+
+    from geodesk_gol_spark.gate import derived_cache_dir
+    from geodesk_gol_spark.plans.pipeline import build_gol
+
+    path = derived_cache_dir(sf, "a8build")
+    mpath = path / "metrics.jsonl"
+    if not mpath.exists():
+        build_gol(spark, sf, str(path))
+    rows = [
+        _json.loads(line)
+        for line in mpath.read_text().splitlines()
+        if line.strip()
+    ]
+    skew = [r for r in rows if r.get("stage") == "metrics"][-1]
+    return spark.createDataFrame(
+        [(int(skew["tiles"]), int(skew["max_tile_rows"]),
+          int(skew["total_rows"]))],
+        "tiles long, max_tile_rows long, total_rows long",
+    )
+
+
 def _q_f11_template(spark, sf):
     from geodesk_gol_spark.query.map import template_col
 
@@ -1082,6 +1113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from geodesk_gol_spark.gate_ml import ml_queries
 
     q.update(ml_queries())
+    # absolute last (slowest-last convention): one memoized full
+    # pipeline build certifying the A8 metrics/lineage recording
+    q["a8_build_metrics"] = _q_a8_build_metrics
     return q
 
 
@@ -1505,6 +1539,14 @@ def oracle_sql() -> dict[str, str]:
     # the dump is a different SINK over the same store rows — identical
     # per-tile row/ghost counts certify it against the same oracle
     o["o_dump_tiles"] = o["s5_archive_manifest"]
+    # A8: the recorded skew metrics are per-tile-count aggregates over
+    # the same store content the s5 oracle reconstructs independently
+    o["a8_build_metrics"] = (
+        "SELECT CAST(count(*) AS BIGINT) AS tiles, "
+        "CAST(max(n_rows) AS BIGINT) AS max_tile_rows, "
+        "CAST(sum(n_rows) AS BIGINT) AS total_rows "
+        f"FROM ({o['s5_archive_manifest']})"
+    )
     # U3: same manifest counts restricted to tiles whose world-coordinate
     # square intersects _BB — the oracle recomputes the tile geometry
     # (span = 2^(31-zoom), corner = col·span) independently of
