@@ -833,6 +833,70 @@ def _q_s8_osc_roundtrip(spark, sf):
     )
 
 
+def _q_s8_replication(spark, sf):
+    """S8 replication client end-to-end: build a LOCAL Osmosis-style
+    replication tree (two sequence-numbered .osc.gz diffs + state
+    files, served over ``file://`` — urlopen handles both schemes, the
+    HTTP path is pytest-covered with a live server), walk it from
+    revision 0, and apply both diffs as one strictly-ordered merge
+    (ReplicationClient.cpp:1-164, Updater.cpp:187-243).  Revision 2
+    overwrites a subset of revision 1's modifies, so this row fails if
+    diffs apply out of order or the second one is skipped."""
+    import pathlib
+
+    from geodesk_gol_spark.gate import derived_cache_dir
+    from geodesk_gol_spark.streaming.replication import (
+        ReplicationState, make_diff_gz, replicate, revision_path,
+        write_state)
+
+    c = ctx(spark, sf)
+    srv = derived_cache_dir(sf, "replsrv")
+    if not (srv / "state.txt").exists():
+        ids = [
+            r.id for r in c["feats"]["nodes"]
+            .filter((F.col("id") % 97 == 0) & (F.col("id") <= _OSC_ID_CAP))
+            .select("id").orderBy("id").collect()
+        ]
+
+        def doc(mods: list[tuple[int, str]]) -> str:
+            body = "".join(
+                f'<node id="{i}" version="2">'
+                f'<tag k="amenity" v="{v}"/></node>' for i, v in mods
+            )
+            return (f'<osmChange version="0.6"><modify>{body}'
+                    f"</modify></osmChange>")
+
+        diffs = {
+            1: doc([(i, "repl_one") for i in ids]),
+            2: doc([(i, "repl_two") for i in ids if i % 2 == 0]),
+        }
+        for rev, text in diffs.items():
+            p = srv / f"{revision_path(rev)}.osc.gz"
+            p.parent.mkdir(parents=True, exist_ok=True)
+            p.write_bytes(make_diff_gz(text))
+            write_state(str(p.with_suffix("").with_suffix(".state.txt")),
+                        ReplicationState(rev, f"2026-08-18T0{rev}:00:00Z"))
+        write_state(str(srv / "state.txt"),
+                    ReplicationState(2, "2026-08-18T02:00:00Z"))
+
+    store_nodes = c["store"].filter(
+        (F.col("ftype") == 0) & ~F.col("is_ghost")
+    ).select("typed_id", "id", "tags", "tile_id")
+    spool = srv / "spool"
+    merged, head = replicate(
+        spark, f"file://{srv}", store_nodes, 0, str(spool),
+        catalog=c["catalog"],
+    )
+    assert head.revision == 2
+    return merged.filter(
+        (F.col("id") % 97 == 0) & (F.col("id") <= _OSC_ID_CAP)
+    ).select(
+        "typed_id",
+        F.col("tags")["amenity"].alias("amenity"),
+        "tile_id",
+    )
+
+
 def _q_f7_area_ways(spark, sf):
     from geodesk_gol_spark.functions.areas import way_is_area
 
@@ -1097,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_polygon_crossing": _q_p3_polygon_crossing,
         "p_around_point": _q_p_around_point,
         "s8_osc_roundtrip": _q_s8_osc_roundtrip,
+        "s8_replication": _q_s8_replication,
         "f7_area_ways": _q_f7_area_ways,
         "f8_closed_rings": _q_f8_closed_rings,
         "f9_geojson_cafes": _q_f9_geojson_cafes,
@@ -1411,6 +1476,15 @@ def oracle_sql() -> dict[str, str]:
               AND (addr_street IS NULL OR addr_street <> 'Main Street')
         """,
         "p2_bbox_query": _ORACLE_P2,
+        "s8_replication": _prefix(cell_tile=True) + f"""
+            SELECT n.id * 4 AS typed_id,
+                   CASE WHEN n.id % 2 = 0 THEN 'repl_two'
+                        ELSE 'repl_one' END AS amenity,
+                   ct.tile_id AS tile_id
+            FROM nodes n
+            JOIN cell_tile ct ON ct.c = n.cell_col AND ct.r = n.cell_row
+            WHERE n.id % 97 = 0 AND n.id <= {_OSC_ID_CAP}
+        """,
         "s8_osc_roundtrip": _prefix(cell_tile=True) + f"""
             SELECT n.id * 4 AS typed_id, 'fountain' AS amenity,
                    ct.tile_id AS tile_id
