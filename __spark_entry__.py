@@ -742,6 +742,9 @@ _OSC_NEW_BASE = 9_000_000_000
 # at any scale factor; covers every eligible id at sf0.001)
 _OSC_ID_CAP = 60_000
 
+from geodesk_gol_spark.functions.cells import hex_cell_exprs as _hex_exprs  # noqa: E402
+_HEX_Q, _HEX_R = _hex_exprs()
+
 
 def _osc_text_for(spark, sf) -> str:
     """Deterministic OsmChange doc derived from the corpus: modify
@@ -895,6 +898,18 @@ def _q_s8_replication(spark, sf):
         F.col("tags")["amenity"].alias("amenity"),
         "tile_id",
     )
+
+
+def _q_f2_hex_cells(spark, sf):
+    """H3-style hex binning (the hexagonal half of the north rule's
+    "H3/S2 index cells"): axial (q, r) per node via cube-rounding, the
+    whole derivation one JVM CASE tree sharing its exact SQL text with
+    the DuckDB oracle — IEEE-reproducible across engines."""
+    from geodesk_gol_spark.functions.cells import with_hex_cells
+
+    c = ctx(spark, sf)
+    pts = c["points"].select("id", "x", "y")
+    return with_hex_cells(pts).select("id", "hex_q", "hex_r")
 
 
 def _q_f7_area_ways(spark, sf):
@@ -1117,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_span_sequence": _q_s2_span_sequence,
         "f1_projection": _q_f1_projection,
         "f2_cell_ids": _q_f2_cell_ids,
+        "f2_hex_cells": _q_f2_hex_cells,
         "a1_cell_counts": _q_a1_cell_counts,
         "a3_osm_stats": _q_a3_osm_stats,
         "a4_tile_pyramid": _q_a4_tile_pyramid,
@@ -1195,6 +1211,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT id, x, y, cell_col, cell_row FROM ({sqlgen.nodes_select()})"
         ),
         "f2_cell_ids": _oracle_cell_ids(),
+        "f2_hex_cells": f"""
+            SELECT id, {_HEX_Q} AS hex_q, {_HEX_R} AS hex_r
+            FROM ({sqlgen.nodes_select()})
+        """,
         "a1_cell_counts": (
             f"SELECT cell_col, cell_row, count(*) AS n "
             f"FROM ({sqlgen.nodes_select()}) GROUP BY cell_col, cell_row"

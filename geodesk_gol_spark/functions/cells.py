@@ -89,3 +89,48 @@ def with_cell_ids(df: DataFrame, zooms: tuple[int, ...] = (LEAF_ZOOM,),
         name = "cell_id" if z == LEAF_ZOOM else f"cell_id_z{z}"
         out = out.withColumn(name, F.expr(sqlgen.cell_id_expr(c, r, z)))
     return out
+
+
+def hex_cell_exprs(x: str = "x", y: str = "y",
+                   size: int = 1 << 22) -> tuple[str, str]:
+    """H3-style hexagonal binning: axial (q, r) of the pointy-top hex
+    containing world point (x, y), hexagon circumradius ``size`` world
+    units — the other half of the north rule's "H3/S2 index cells"
+    (cell_id_col above is the S2 half; real H3's aperture-7 hierarchy
+    adds parent/child levels this single-resolution binning doesn't
+    model, which hex HEATMAP/JOIN use cases don't need).
+
+    Returned as SQL text usable verbatim in Spark AND DuckDB: identical
+    literals and operation order make the float math IEEE-reproducible
+    across engines (the sqlgen determinism rule), and the half-up
+    rounding is pinned via floor(v + 0.5) — engines disagree on bare
+    round().  Cube-rounding per Red Blob Games' axial algorithm (public
+    domain), correction branch picks the component with the largest
+    rounding error.
+    """
+    # fractional axial coords; 0.5773502691896258 = sqrt(3)/3 (exact
+    # double literal, same parse in both engines)
+    qf = f"((0.5773502691896258 * ({x}) - (({y}) / 3.0)) / {size}.0)"
+    rf = f"((2.0 * ({y}) / 3.0) / {size}.0)"
+    # cube components: xf = qf, zf = rf, yf = -xf - zf
+    yf = f"(-({qf}) - ({rf}))"
+    rx = f"floor(({qf}) + 0.5)"
+    ry = f"floor(({yf}) + 0.5)"
+    rz = f"floor(({rf}) + 0.5)"
+    dx = f"abs(({rx}) - ({qf}))"
+    dy = f"abs(({ry}) - ({yf}))"
+    dz = f"abs(({rz}) - ({rf}))"
+    hq = (f"CAST(CASE WHEN ({dx}) > ({dy}) AND ({dx}) > ({dz}) "
+          f"THEN -({ry}) - ({rz}) ELSE ({rx}) END AS BIGINT)")
+    hr = (f"CAST(CASE WHEN NOT (({dx}) > ({dy}) AND ({dx}) > ({dz})) "
+          f"AND NOT (({dy}) > ({dz})) "
+          f"THEN -({rx}) - ({ry}) ELSE ({rz}) END AS BIGINT)")
+    return hq, hr
+
+
+def with_hex_cells(df: DataFrame, x: str = "x", y: str = "y",
+                   size: int = 1 << 22) -> DataFrame:
+    """Append ``hex_q``/``hex_r`` axial hex-cell columns (JVM codegen —
+    the whole derivation is one Column CASE tree, no UDF)."""
+    hq, hr = hex_cell_exprs(x, y, size)
+    return df.withColumn("hex_q", F.expr(hq)).withColumn("hex_r", F.expr(hr))
