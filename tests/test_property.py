@@ -189,3 +189,38 @@ def test_pack_sequences_matches_python_model(docs, cap):
     for (src, seq), n in by_seq.items():
         last = max(s for s_, s in by_seq if s_ == src)
         assert n == cap or seq == last
+
+
+@settings(max_examples=200, deadline=None)
+@given(x=st.integers(-2**31, 2**31), y=st.integers(-2**31, 2**31))
+def test_hex_cells_match_python_model(x, y):
+    """The hex-binning SQL (cube-rounding with floor(v+0.5) pinned
+    rounding) equals an independent Python float model for arbitrary
+    world coordinates.  DuckDB evaluates the same text Spark runs."""
+    import math
+
+    import duckdb
+
+    from geodesk_gol_spark.functions.cells import hex_cell_exprs
+
+    size = 1 << 22
+    hq_sql, hr_sql = hex_cell_exprs("x", "y", size)
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {hq_sql} AS q, {hr_sql} AS r "
+        f"FROM (SELECT CAST(? AS BIGINT) AS x, CAST(? AS BIGINT) AS y)",
+        [x, y],
+    ).fetchone()
+
+    qf = (0.5773502691896258 * x - y / 3.0) / float(size)
+    rf = (2.0 * y / 3.0) / float(size)
+    yf = -qf - rf
+    rx, ry, rz = (math.floor(v + 0.5) for v in (qf, yf, rf))
+    dx, dy, dz = abs(rx - qf), abs(ry - yf), abs(rz - rf)
+    if dx > dy and dx > dz:
+        rx = -ry - rz
+    elif dy > dz:
+        pass  # y corrected; q/r outputs unaffected
+    else:
+        rz = -rx - ry
+    assert got == (rx, rz)
