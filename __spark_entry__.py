@@ -381,6 +381,132 @@ def _q_p1_goql_negation(spark, sf):
     )
 
 
+def _q_p1_goql_numeric(spark, sf):
+    """F6 numeric tag comparison ([maxspeed>=50]): values compare as
+    numbers when castable; non-numeric values ('walk') never match a
+    numeric clause (reference matcher compiles a double compare,
+    src/query/TagClause semantics; our spec: try_cast to double)."""
+    from geodesk_gol_spark.query.goql import goql_to_column
+
+    c = ctx(spark, sf)
+    return (
+        c["store"]
+        .filter(~F.col("is_ghost") & goql_to_column("n[maxspeed>=50][maxspeed<70]"))
+        .select("typed_id").distinct()
+    )
+
+
+def _q_j_exceptions(spark, sf):
+    """U2 exceptions through the REAL resolver: self-references are
+    dropped (Sorter.cpp:490-499), missing members partially resolve and
+    flag geodesk:missing_members (Sorter.cpp:510-518), anchored cycles
+    break deterministically with a refcycle flag, and pure cycles land
+    in the unresolved output (SuperRelationResolver.cpp:152-235).
+
+    A small exception corpus is derived per nation row (25 rows at any
+    SF): A = [existing node, missing node, self], B = [A, self],
+    C = [B, D], D = [C] (pure 2-cycle), E = [F, existing node],
+    F = [E] (anchored cycle).  The oracle predicts every output row in
+    closed form from the same construction.
+    """
+    from geodesk_gol_spark.operators.assign import relation_extents
+    from geodesk_gol_spark.operators.validate import missing_member_tags
+
+    c = ctx(spark, sf)
+    points = c["points"]
+    base = 10_000_000_000
+    # 1-row frame with the smallest node id — broadcast-joined into the
+    # per-nation member lists (fully distributed; no driver collect)
+    anchor = points.agg(F.min("id").alias("nid"))
+    nk = (
+        base_tables(spark, sf)["nation"]
+        .select(F.col("n_nationkey").cast("long").alias("k"))
+        .crossJoin(F.broadcast(anchor))
+    )
+
+    def m(t, idc, role):
+        return F.struct(
+            F.lit(t).cast("tinyint").alias("t"),
+            idc.cast("bigint").alias("id"),
+            F.lit(role).alias("role"),
+        )
+
+    k6 = F.col("k") * 6 + base
+    rels = nk.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    k6.alias("id"),
+                    F.array(
+                        m(0, F.col("nid"), "anchor"),
+                        m(0, F.lit(1), "missing"),
+                        m(2, k6, "self"),
+                    ).alias("members"),
+                ),
+                F.struct(
+                    (k6 + 1).alias("id"),
+                    F.array(m(2, k6, "sub"), m(2, k6 + 1, "self")).alias("members"),
+                ),
+                F.struct(
+                    (k6 + 2).alias("id"),
+                    F.array(m(2, k6 + 3, "cyc")).alias("members"),
+                ),
+                F.struct(
+                    (k6 + 3).alias("id"),
+                    F.array(m(2, k6 + 2, "cyc")).alias("members"),
+                ),
+                F.struct(
+                    (k6 + 4).alias("id"),
+                    F.array(m(2, k6 + 5, "cyc"), m(0, F.col("nid"), "anchor")).alias(
+                        "members"
+                    ),
+                ),
+                F.struct(
+                    (k6 + 5).alias("id"),
+                    F.array(m(2, k6 + 4, "cyc")).alias("members"),
+                ),
+            )
+        ).alias("r")
+    ).select(
+        F.col("r.id").alias("id"),
+        F.col("r.members").alias("members"),
+        F.expr("map()").cast("map<string,string>").alias("tags"),
+        F.concat(F.lit("exc-"), F.col("r.id").cast("string")).alias("doc_id"),
+        F.lit(0).alias("span_seq"),
+    )
+
+    wext_empty = c["assignment"]["extents"].filter(F.lit(False)).select(
+        "typed_id", "id", "n_members", "n_resolved",
+        "minc", "minr", "maxc", "maxr", "minx", "miny", "maxx", "maxy",
+    )
+    ext, unresolved = relation_extents(rels, points, wext_empty)
+    missing = missing_member_tags(ext).select(
+        "typed_id", F.lit(True).alias("missing")
+    )
+    resolved = (
+        ext.join(missing, "typed_id", "left")
+        .select(
+            "id",
+            F.lit("resolved").alias("outcome"),
+            F.col("level").cast("int").alias("level"),
+            F.col("n_members").cast("int").alias("n_members"),
+            F.col("n_resolved").cast("int").alias("n_resolved"),
+            F.col("refcycle").cast("boolean").alias("refcycle"),
+            F.coalesce(F.col("missing"), F.lit(False)).alias("missing"),
+        )
+    )
+    unres = unresolved.select(
+        F.col("rel_id").alias("id"),
+        F.lit("unresolved").alias("outcome"),
+        F.lit(-1).cast("int").alias("level"),
+        F.lit(-1).cast("int").alias("n_members"),
+        F.lit(-1).cast("int").alias("n_resolved"),
+        F.lit(False).alias("refcycle"),
+        F.lit(False).alias("missing"),
+    )
+    return resolved.unionByName(unres)
+
+
 def _q_o_info_summary(spark, sf):
     """gol info analogue: one summary row (feature counts, ghost copies,
     populated tiles, world bbox)."""
@@ -1170,6 +1296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_goql_area_natural": _q_p1_goql_area_natural,
         "p1_goql_quoted_key": _q_p1_goql_quoted_key,
         "p1_goql_negation": _q_p1_goql_negation,
+        "p1_goql_numeric": _q_p1_goql_numeric,
+        "j_exceptions": _q_j_exceptions,
         "p2_bbox_query": _q_p2_bbox_query,
         "p3_polygon_query": _q_p3_polygon_query,
         "p3_polygon_ways": _q_p3_polygon_ways,
@@ -1295,7 +1423,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.id * 4 AS typed_id
             FROM nodes n
             WHERE n.highway IS NULL AND n.name IS NULL AND n.amenity IS NULL
-              AND n.addr_street IS NULL
+              AND n.addr_street IS NULL AND n.maxspeed IS NULL
               AND NOT EXISTS (
                 SELECT 1 FROM ({sqlgen.way_members_select()}) wm
                 WHERE wm.node_id = n.id)
@@ -1495,6 +1623,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE amenity IS NOT NULL
               AND (addr_street IS NULL OR addr_street <> 'Main Street')
         """,
+        "p1_goql_numeric": f"""
+            SELECT id * 4 AS typed_id FROM ({sqlgen.nodes_select()})
+            WHERE TRY_CAST(maxspeed AS DOUBLE) >= 50
+              AND TRY_CAST(maxspeed AS DOUBLE) < 70
+        """,
+        # closed-form prediction of the exception corpus the query
+        # constructs per nation row (semantics pinned by
+        # tests/test_relation_edge_cases.py): slot 0 = partial resolve
+        # with dropped self-ref, 1 = super over 0 with self-ref,
+        # 2/3 = pure 2-cycle (unresolved), 4/5 = anchored cycle broken
+        # deterministically at the lower id (refcycle flag on 4)
+        "j_exceptions": """
+            WITH slots AS (
+              SELECT * FROM (VALUES
+                (0, 'resolved',   0,  3,  1, FALSE, TRUE),
+                (1, 'resolved',   1,  2,  1, FALSE, TRUE),
+                (2, 'unresolved', -1, -1, -1, FALSE, FALSE),
+                (3, 'unresolved', -1, -1, -1, FALSE, FALSE),
+                (4, 'resolved',   1,  2,  1, TRUE,  TRUE),
+                (5, 'resolved',   2,  1,  1, FALSE, FALSE)
+              ) t(s, outcome, level, n_members, n_resolved, refcycle, missing)
+            )
+            SELECT 10000000000 + n_nationkey * 6 + s AS id, outcome,
+                   CAST(level AS INT) AS level,
+                   CAST(n_members AS INT) AS n_members,
+                   CAST(n_resolved AS INT) AS n_resolved,
+                   refcycle, missing
+            FROM nation CROSS JOIN slots
+        """,
         "p2_bbox_query": _ORACLE_P2,
         "s8_replication": _prefix(cell_tile=True) + f"""
             SELECT n.id * 4 AS typed_id,
@@ -1596,6 +1753,8 @@ def oracle_sql() -> dict[str, str]:
                     '  ' || rpad('amenity', CAST(kw AS INTEGER), ' ') || ' = ' || amenity END,
                   CASE WHEN highway IS NOT NULL THEN
                     '  ' || rpad('highway', CAST(kw AS INTEGER), ' ') || ' = ' || highway END,
+                  CASE WHEN maxspeed IS NOT NULL THEN
+                    '  ' || rpad('maxspeed', CAST(kw AS INTEGER), ' ') || ' = ' || maxspeed END,
                   CASE WHEN name IS NOT NULL THEN
                     '  ' || rpad('name', CAST(kw AS INTEGER), ' ') || ' = ' || name END
                 )) AS block
@@ -1604,6 +1763,7 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN addr_street IS NOT NULL THEN 11 ELSE 0 END,
                 CASE WHEN amenity IS NOT NULL THEN 7 ELSE 0 END,
                 CASE WHEN highway IS NOT NULL THEN 7 ELSE 0 END,
+                CASE WHEN maxspeed IS NOT NULL THEN 8 ELSE 0 END,
                 CASE WHEN name IS NOT NULL THEN 4 ELSE 0 END) AS kw
               FROM ({sqlgen.nodes_select()}) WHERE id % 7 = 0
             )
@@ -1888,6 +2048,8 @@ strs AS (
   UNION ALL SELECT amenity FROM nodes WHERE amenity IS NOT NULL
   UNION ALL SELECT 'addr:street' FROM nodes WHERE addr_street IS NOT NULL
   UNION ALL SELECT addr_street FROM nodes WHERE addr_street IS NOT NULL
+  UNION ALL SELECT 'maxspeed' FROM nodes WHERE maxspeed IS NOT NULL
+  UNION ALL SELECT maxspeed FROM nodes WHERE maxspeed IS NOT NULL
   UNION ALL SELECT 'highway' FROM ways WHERE highway IS NOT NULL
   UNION ALL SELECT highway FROM ways WHERE highway IS NOT NULL
   UNION ALL SELECT 'name' FROM ways WHERE name IS NOT NULL

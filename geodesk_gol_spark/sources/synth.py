@@ -116,6 +116,7 @@ def _node_payload_cols(df: DataFrame) -> DataFrame:
         f"{sqlgen.NODE_NAME} AS name",
         f"{sqlgen.NODE_AMENITY} AS amenity",
         f"{sqlgen.NODE_ADDR} AS addr_street",
+        f"{sqlgen.NODE_MAXSPEED} AS maxspeed",
         f"{sqlgen.H1} AS h1",
         "l_orderkey AS orderkey",
         "l_linenumber AS linenumber",
@@ -141,7 +142,10 @@ def synth_docs(
 
     nodes = _node_payload_cols(li).withColumn(
         "tags",
-        _tags_expr("highway", "name", "amenity", ("addr:street", "addr_street")),
+        _tags_expr(
+            "highway", "name", "amenity", "maxspeed",
+            ("addr:street", "addr_street"),
+        ),
     )
 
     # --- order docs: text span + (media?, node)* + way span -----------------

@@ -57,6 +57,7 @@ NODE_ID = "(l_orderkey * 8 + l_linenumber)"
 H1 = h_expr(NODE_ID, 2654435761)
 H2 = h_expr(NODE_ID, 2246822519)
 H3 = h_expr(NODE_ID, 3266489917)
+H4 = h_expr(NODE_ID, 668265263)
 
 # lon/lat in 100-nanodegree ints (reference coordinate input unit,
 # src/build/sort/Sorter.cpp:199-201).
@@ -162,6 +163,14 @@ NODE_ADDR = (
     f"CASE WHEN {H2} % 7 = 3 THEN 'Main Street' "
     f"WHEN {H2} % 7 = 4 THEN 'Elm Road' ELSE NULL END"
 )
+# numeric-valued key exercising GOQL comparison operators ([k>=v],
+# TagClauses: reference matcher compiles numeric compares that a
+# NON-numeric tag value must never satisfy — 'walk' is the decoy
+NODE_MAXSPEED = (
+    f"CASE WHEN {H4} % 9 = 0 THEN '30' WHEN {H4} % 9 = 1 THEN '50' "
+    f"WHEN {H4} % 9 = 2 THEN '70' WHEN {H4} % 9 = 3 THEN 'walk' "
+    f"ELSE NULL END"
+)
 
 
 def nodes_select(lineitem: str = "lineitem") -> str:
@@ -182,6 +191,7 @@ def nodes_select(lineitem: str = "lineitem") -> str:
   {NODE_NAME} AS name,
   {NODE_AMENITY} AS amenity,
   {NODE_ADDR} AS addr_street,
+  {NODE_MAXSPEED} AS maxspeed,
   l_orderkey AS orderkey,
   l_linenumber AS linenumber
 FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM {lineitem})"""
