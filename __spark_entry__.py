@@ -439,7 +439,9 @@ def _q_j_exceptions(spark, sf):
                     k6.alias("id"),
                     F.array(
                         m(0, F.col("nid"), "anchor"),
-                        m(0, F.lit(1), "missing"),
+                        # ids are non-negative at every SF; -1 can never
+                        # resolve (small positive ids DO exist at some SFs)
+                        m(0, F.lit(-1), "missing"),
                         m(2, k6, "self"),
                     ).alias("members"),
                 ),
