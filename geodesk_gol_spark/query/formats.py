@@ -234,10 +234,9 @@ def format_result(
     """
     fmt = fmt.lower()
     # reference alias table (QueryCommand.cpp:180-199): json→geojson,
-    # jsonl/ndjson→geojsonl
-    fmt = {"json": "geojson", "jsonl": "geojsonl", "ndjson": "geojsonl"}.get(
-        fmt, fmt
-    )
+    # jsonl/ndjson→geojsonl, table→list
+    fmt = {"json": "geojson", "jsonl": "geojsonl", "ndjson": "geojsonl",
+           "table": "list"}.get(fmt, fmt)
     if fmt == "count":
         return count_result(nodes)
     if fmt == "brief":
@@ -277,8 +276,8 @@ def format_result(
         return node_xml(nodes, precision)
     raise InvalidFormatError(
         f"invalid format: {fmt!r} (expected one of "
-        f"brief, count, list, geojson, geojsonl, json, jsonl, ndjson, "
-        f"wkt, csv, xml)"
+        f"brief, count, list, table, geojson, geojsonl, json, jsonl, "
+        f"ndjson, wkt, csv, xml)"
     )
 
 

@@ -183,7 +183,7 @@ def test_format_dispatch_and_invalid(spark):
         "id long, lon100nd long, lat100nd long, tags map<string,string>",
     )
     assert format_result(nodes, "count") == 1
-    for fmt in ("list", "geojsonl", "wkt", "xml"):
+    for fmt in ("list", "table", "geojsonl", "wkt", "xml"):
         assert format_result(nodes, fmt).count() == 1
     assert format_result(nodes, "csv", keys=["amenity"]).columns == [
         "id", "lon", "lat", "amenity"]
