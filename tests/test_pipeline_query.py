@@ -51,6 +51,47 @@ def test_resume_skips_stages(spark, built):
                if k not in ("stage", "seconds"))
 
 
+def test_resume_after_midstage_crash(spark, built, tmp_path):
+    """Crash DURING the store stage (torn write: _SUCCESS missing, stray
+    part-files left behind), then resume: only the interrupted stage and
+    the always-on audit passes re-run, upstream stages are skipped, and
+    the rewritten store is value-identical to the undamaged one
+    (idempotent stage re-runs = the reference's startPhase model)."""
+    import shutil
+
+    res, store = built
+    crash_dir = str(tmp_path / "crashed")
+    shutil.copytree(res.out_dir, crash_dir)
+    # simulate the torn write
+    sp = os.path.join(crash_dir, "store")
+    os.remove(os.path.join(sp, "_SUCCESS"))
+    parts = [f for f in os.listdir(sp) if f.startswith("part-")]
+    os.remove(os.path.join(sp, parts[0]))
+
+    res2 = build_gol(spark, SF_DIR, crash_dir, BuildSettings.for_fixture(50))
+    stages = {m["stage"] for m in res2.metrics}
+    assert stages == {"store", "check", "metrics"}
+
+    def sig(df):
+        from pyspark.sql.types import MapType
+
+        cols = [
+            F.array_sort(F.map_entries(f.name)).alias(f.name)
+            if isinstance(f.dataType, MapType) else F.col(f.name)
+            for f in sorted(df.schema.fields, key=lambda f: f.name)
+        ]
+        return df.select(F.xxhash64(*cols).alias("rh")).select(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(rh)").alias("h"),
+        ).collect()[0]
+
+    redone = spark.read.parquet(res2.store_path())
+    assert sig(redone) == sig(store)
+    checks = next(m for m in res2.metrics if m["stage"] == "check")
+    assert all(v == 0 for k, v in checks.items()
+               if k not in ("stage", "seconds"))
+
+
 def test_store_is_tile_range_clustered(built, spark):
     """Range-clustered layout: bounded file count (no per-tile dir
     explosion) and weakly ordered, prunable tile-id ranges per file."""
