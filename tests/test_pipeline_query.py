@@ -111,6 +111,44 @@ def test_store_is_tile_range_clustered(built, spark):
         assert a["hi"] <= b["lo"]  # contiguous ranges → row-group pruning
 
 
+def test_hot_tile_splits_across_files(spark, tmp_path):
+    """Skew: one planet-scale city tile must not serialize behind a
+    single writer.  Ranging on (tile_id, hilbert) splits the hot tile
+    at Hilbert boundaries across several output files while every file
+    keeps a narrow, prunable tile_id range."""
+    from geodesk_gol_spark.operators.compile_tiles import write_store
+
+    n_hot, n_cold = 9_000, 1_000
+    rows = spark.range(n_hot + n_cold).select(
+        F.col("id"),
+        F.lit(0).alias("ftype"),
+        # 90% of rows land in tile 7; the rest spread over 50 tiles
+        F.when(F.col("id") < n_hot, F.lit(7))
+        .otherwise(100 + F.col("id") % 50).cast("int").alias("tile_id"),
+        (F.col("id") * 2654435761 % 2**32).alias("hilbert"),
+    )
+    out = str(tmp_path / "store")
+    write_store(rows, out, partitions=8)
+
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("tile_id").alias("lo"), F.max("tile_id").alias("hi"))
+        .orderBy("lo", "hi")
+        .collect()
+    )
+    hot_files = [r for r in per_file if r["lo"] <= 7 <= r["hi"]]
+    # the hot tile was split across several writers ...
+    assert len(hot_files) >= 3
+    # ... no single task owned it all, within range-sampling tolerance
+    assert max(r["n"] for r in per_file) < 0.5 * (n_hot + n_cold)
+    # ... and the layout stays prunable: ranges touch at most at the
+    # boundary tile (the composite range key splits INSIDE a tile)
+    for a, b in zip(per_file, per_file[1:]):
+        assert a["hi"] <= b["lo"]
+
+
 def test_metrics_recorded(built):
     res, _ = built
     m = {x["stage"]: x for x in res.metrics}
