@@ -381,6 +381,33 @@ def _q_p1_goql_negation(spark, sf):
     )
 
 
+_AREA_WKT = (
+    "MULTIPOLYGON ((("
+    "7.5 43.35, 7.8 43.35, 7.8 43.6, 7.5 43.6, 7.5 43.35), ("
+    "7.6 43.4, 7.7 43.4, 7.7 43.5, 7.6 43.5, 7.6 43.4)), (("
+    "7.9 43.3, 8.05 43.3, 8.05 43.45, 7.9 43.45, 7.9 43.3)))"
+)
+
+
+def _q_p3_area_wkt(spark, sf):
+    """-a <area> analogue end-to-end: parse a WKT MULTIPOLYGON (outer
+    ring with a hole + a second outer) in lon/lat degrees, project the
+    rings to world x/y, and run the even-odd multi-ring filter
+    (GolCommand::setArea + PolygonParser, src/gol/util/PolygonParser.cpp).
+    Rings are inset by half a world unit so integer node coordinates
+    never tie an edge (the same half-integer convention as the other
+    p3 gate queries)."""
+    from geodesk_gol_spark.query.area import parse_area
+    from geodesk_gol_spark.query.spatial import area_filter
+
+    c = ctx(spark, sf)
+    rings = [
+        [(x + 0.5, y + 0.5) for x, y in ring] for ring in parse_area(_AREA_WKT)
+    ]
+    nodes = c["store"].filter((F.col("ftype") == 0) & ~F.col("is_ghost"))
+    return area_filter(nodes, c["catalog"], rings).select("typed_id").distinct()
+
+
 def _q_p1_goql_numeric(spark, sf):
     """F6 numeric tag comparison ([maxspeed>=50]): values compare as
     numbers when castable; non-numeric values ('walk') never match a
@@ -1299,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_goql_quoted_key": _q_p1_goql_quoted_key,
         "p1_goql_negation": _q_p1_goql_negation,
         "p1_goql_numeric": _q_p1_goql_numeric,
+        "p3_area_wkt": _q_p3_area_wkt,
         "j_exceptions": _q_j_exceptions,
         "p2_bbox_query": _q_p2_bbox_query,
         "p3_polygon_query": _q_p3_polygon_query,
@@ -1629,6 +1657,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT id * 4 AS typed_id FROM ({sqlgen.nodes_select()})
             WHERE TRY_CAST(maxspeed AS DOUBLE) >= 50
               AND TRY_CAST(maxspeed AS DOUBLE) < 70
+        """,
+        # closed form of the _AREA_WKT rings: axis-aligned degree rects
+        # stay axis-aligned in world space (x linear in lon, y monotone
+        # DECREASING in lat); the query's half-unit ring inset makes the
+        # integer test (lo, hi] exactly — bounds from the same shared
+        # projection SQL over the literal 100nd ring coordinates
+        "p3_area_wkt": f"""
+            SELECT id * 4 AS typed_id FROM ({sqlgen.nodes_select()})
+            WHERE ((x > {sqlgen.x_expr('75000000')}
+                    AND x <= {sqlgen.x_expr('78000000')}
+                    AND y > {sqlgen.y_expr('436000000')}
+                    AND y <= {sqlgen.y_expr('433500000')})
+                   AND NOT (x > {sqlgen.x_expr('76000000')}
+                            AND x <= {sqlgen.x_expr('77000000')}
+                            AND y > {sqlgen.y_expr('435000000')}
+                            AND y <= {sqlgen.y_expr('434000000')}))
+               OR (x > {sqlgen.x_expr('79000000')}
+                   AND x <= {sqlgen.x_expr('80500000')}
+                   AND y > {sqlgen.y_expr('434500000')}
+                   AND y <= {sqlgen.y_expr('433000000')})
         """,
         # closed-form prediction of the exception corpus the query
         # constructs per nation row (semantics pinned by

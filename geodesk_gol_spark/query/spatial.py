@@ -131,6 +131,53 @@ def polygon_filter(store: DataFrame, catalog: TileCatalog, poly_xy) -> DataFrame
     return pruned.filter(pip(F.col("cx"), F.col("cy")))
 
 
+def point_in_rings_udf(rings: list[list[tuple[float, float]]]):
+    """Even-odd ray casting over MULTIPLE closed rings (multipolygon
+    outers + holes compose by crossing parity — the reference's MCIndex
+    ray test, geodesk IntersectsPolygonFilter).  Same vectorized
+    per-edge numpy passes as :func:`point_in_polygon_udf`; the rings'
+    closing edges never connect DIFFERENT rings."""
+    edges = []
+    for ring in rings:
+        px = np.array([p[0] for p in ring], dtype=np.float64)
+        py = np.array([p[1] for p in ring], dtype=np.float64)
+        if px[0] != px[-1] or py[0] != py[-1]:
+            px = np.append(px, px[0])
+            py = np.append(py, py[0])
+        for i in range(len(px) - 1):
+            edges.append((px[i], py[i], px[i + 1], py[i + 1]))
+
+    @F.pandas_udf(BooleanType())
+    def pip(x: pd.Series, y: pd.Series) -> pd.Series:
+        xs = x.to_numpy(dtype=np.float64)
+        ys = y.to_numpy(dtype=np.float64)
+        inside = np.zeros(len(xs), dtype=bool)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for x0, y0, x1, y1 in edges:
+                crosses = ((y0 > ys) != (y1 > ys)) & (
+                    xs < (x1 - x0) * (ys - y0) / (y1 - y0) + x0
+                )
+                inside ^= crosses
+        return pd.Series(inside)
+
+    return pip
+
+
+def area_filter(
+    store: DataFrame, catalog: TileCatalog, rings: list[list[tuple[float, float]]]
+) -> DataFrame:
+    """-a analogue over parsed rings (see ``query.area.parse_area``):
+    tile pre-prune by the rings' joint bbox, then exact even-odd PIP on
+    feature centers."""
+    xs = [p[0] for ring in rings for p in ring]
+    ys = [p[1] for ring in rings for p in ring]
+    pruned = bbox_filter(
+        store, catalog, int(min(xs)), int(min(ys)), int(max(xs)), int(max(ys))
+    )
+    pip = point_in_rings_udf(rings)
+    return pruned.filter(pip(F.col("cx"), F.col("cy")))
+
+
 # ---------------------------------------------------------------------------
 # polygon intersects over way geometry (P3/J9 — true intersects)
 # ---------------------------------------------------------------------------
