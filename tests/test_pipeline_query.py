@@ -111,6 +111,27 @@ def test_store_is_tile_range_clustered(built, spark):
         assert a["hi"] <= b["lo"]  # contiguous ranges → row-group pruning
 
 
+def test_gol_query_composed(built, spark):
+    """The composed `gol query` surface: GOQL + -b/-a strings + -f
+    formats agree with each other (count == line counts), and -a
+    restricts a superset -b result."""
+    from geodesk_gol_spark.query.run import gol_query
+
+    res, store = built
+    n = gol_query(store, res.catalog, "n[amenity=cafe]",
+                  bbox="7,43,9,44", fmt="count")
+    assert n > 0
+    lines = gol_query(store, res.catalog, "n[amenity=cafe]",
+                      bbox="7,43,9,44", fmt="list")
+    assert lines.count() == n
+    wkt = "POLYGON ((7.5 43.35, 7.8 43.35, 7.8 43.6, 7.5 43.6, 7.5 43.35))"
+    m = gol_query(store, res.catalog, "n[amenity=cafe]", area=wkt, fmt="count")
+    assert 0 < m <= n  # the polygon sits inside the bbox
+    gj = gol_query(store, res.catalog, "n[amenity=cafe]",
+                   area=wkt, fmt="geojsonl")
+    assert gj.count() == m
+
+
 def test_hot_tile_splits_across_files(spark, tmp_path):
     """Skew: one planet-scale city tile must not serialize behind a
     single writer.  Ranging on (tile_id, hilbert) splits the hot tile
