@@ -224,3 +224,77 @@ def test_hex_cells_match_python_model(x, y):
     else:
         rz = -rx - ry
     assert got == (rx, rz)
+
+
+# ---------------------------------------------------------------------------
+# -a area parser (query/area.py)
+# ---------------------------------------------------------------------------
+
+_deg_lon = st.floats(min_value=-170, max_value=170, allow_nan=False,
+                     allow_infinity=False).map(lambda v: round(v, 5))
+_deg_lat = st.floats(min_value=-80, max_value=80, allow_nan=False,
+                     allow_infinity=False).map(lambda v: round(v, 5))
+_ring = st.lists(st.tuples(_deg_lon, _deg_lat), min_size=3, max_size=6)
+
+
+def _expected_rings(deg_rings):
+    from geodesk_gol_spark.oracle.slowpath import project
+
+    out = []
+    for ring in deg_rings:
+        pts = [tuple(map(float, project(int(round(a * 1e7)),
+                                        int(round(b * 1e7)))))
+               for a, b in ring]
+        if pts[0] != pts[-1]:
+            pts.append(pts[0])
+        out.append(pts)
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(rings=st.lists(_ring, min_size=1, max_size=3),
+       form=st.sampled_from(["bare", "polygon", "multipolygon", "latlon",
+                             "geojson"]))
+def test_area_parser_roundtrips_every_form(rings, form):
+    """Any ring set rendered in any accepted -a form parses back to the
+    projections of its vertices (closed), regardless of nesting style,
+    keyword, coordinate order, or GeoJSON wrapping."""
+    import json
+
+    from geodesk_gol_spark.query.area import parse_area_text
+
+    if form == "bare":
+        if len(rings) > 1:
+            return  # a bare list carries exactly one ring
+        text = ", ".join(f"{a} {b}" for a, b in rings[0])
+    elif form == "polygon":
+        body = ", ".join(
+            "(" + ", ".join(f"{a} {b}" for a, b in ring) + ")"
+            for ring in rings)
+        text = f"POLYGON ({body})"
+    elif form == "multipolygon":
+        body = ", ".join(
+            "((" + ", ".join(f"{a} {b}" for a, b in ring) + "))"
+            for ring in rings)
+        text = f"MULTIPOLYGON ({body})"
+    elif form == "latlon":
+        if len(rings) > 1:
+            return
+        text = "latlon " + ", ".join(f"{b} {a}" for a, b in rings[0])
+    else:
+        text = json.dumps({
+            "type": "MultiPolygon",
+            "coordinates": [[[[a, b] for a, b in ring]] for ring in rings],
+        })
+    assert parse_area_text(text) == _expected_rings(rings)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=40))
+def test_area_parser_garbage_never_crashes_uncontrolled(garbage):
+    from geodesk_gol_spark.query.area import AreaParseError, parse_area_text
+
+    try:
+        parse_area_text(garbage)
+    except (AreaParseError, ValueError):
+        pass  # includes json.JSONDecodeError for malformed '{' inputs
