@@ -408,6 +408,20 @@ def _q_p3_area_wkt(spark, sf):
     return area_filter(nodes, c["catalog"], rings).select("typed_id").distinct()
 
 
+def _q_p_query_composed(spark, sf):
+    """The composed `gol query` surface end-to-end through ONE call:
+    GOQL selector + -b degree-string box + -f list printer
+    (QueryCommand.cpp:105 compile, GolCommand.cpp:13-22 options,
+    ListQueryPrinter.h)."""
+    from geodesk_gol_spark.query.run import gol_query
+
+    c = ctx(spark, sf)
+    return gol_query(
+        c["store"], c["catalog"], "n[amenity=cafe]",
+        bbox="7,43,9,44", fmt="list",
+    )
+
+
 def _q_p1_goql_numeric(spark, sf):
     """F6 numeric tag comparison ([maxspeed>=50]): values compare as
     numbers when castable; non-numeric values ('walk') never match a
@@ -1327,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_goql_negation": _q_p1_goql_negation,
         "p1_goql_numeric": _q_p1_goql_numeric,
         "p3_area_wkt": _q_p3_area_wkt,
+        "p_query_composed": _q_p_query_composed,
         "j_exceptions": _q_j_exceptions,
         "p2_bbox_query": _q_p2_bbox_query,
         "p3_polygon_query": _q_p3_polygon_query,
@@ -1657,6 +1672,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT id * 4 AS typed_id FROM ({sqlgen.nodes_select()})
             WHERE TRY_CAST(maxspeed AS DOUBLE) >= 50
               AND TRY_CAST(maxspeed AS DOUBLE) < 70
+        """,
+        # parse_box("7,43,9,44") projects the corners with the same
+        # shared SQL; nodes are points, so extent-intersects = inclusive
+        # point-in-box (y DECREASES with lat: 44°N is the miny corner)
+        "p_query_composed": f"""
+            SELECT concat('n', CAST(id AS VARCHAR)) AS line
+            FROM ({sqlgen.nodes_select()})
+            WHERE amenity = 'cafe'
+              AND x >= {sqlgen.x_expr('70000000')}
+              AND x <= {sqlgen.x_expr('90000000')}
+              AND y >= {sqlgen.y_expr('440000000')}
+              AND y <= {sqlgen.y_expr('430000000')}
         """,
         # closed form of the _AREA_WKT rings: axis-aligned degree rects
         # stay axis-aligned in world space (x linear in lon, y monotone
