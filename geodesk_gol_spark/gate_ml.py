@@ -1072,6 +1072,27 @@ def sql_media_decode(t: str, d: str) -> str:
     """
 
 
+def sql_media_resize(t: str, d: str) -> str:
+    """Oracle for the resize stub: integer aspect-fit of the decoded
+    dims into 224×224 (// is integer division in DuckDB; operands are
+    positive, so floor == trunc)."""
+    return f"""
+    WITH dims AS (
+      SELECT media_ref,
+             1 + (ascii(substr(md5(media_ref), 1, 1)) * 7) % 640 AS w,
+             1 + (ascii(substr(md5(media_ref), 2, 1)) * 5) % 480 AS h
+      FROM (SELECT DISTINCT media_ref FROM {t})
+    )
+    SELECT media_ref,
+           CAST(greatest(1, (w * 224) // greatest(w, h)) AS INT) AS out_w,
+           CAST(greatest(1, (h * 224) // greatest(w, h)) AS INT) AS out_h,
+           CAST(greatest(1, (w * 224) // greatest(w, h))
+                * greatest(1, (h * 224) // greatest(w, h)) * 3 AS BIGINT)
+             AS out_bytes
+    FROM dims
+    """
+
+
 def sql_media_frames(t: str, d: str) -> str:
     """Oracle for the frame-sampling stub: frame count and per-frame
     values derived from the md5 hex of the ref (the synthetic blob IS
@@ -1289,6 +1310,53 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stub (real Arrow plumbing, fake pixels).
+
+    Decode dims with the same nibble math as the decode stub, then an
+    aspect-preserving integer fit into 224×224 (the standard vision-
+    model input): out = dim*224 // max(w, h), plus the resized RGB
+    payload size.  Pure integer arithmetic end-to-end so the oracle is
+    bit-exact; the Spark shape — mapInPandas over Arrow batches,
+    vectorized numpy, no per-row Python — is the real deliverable.
+    """
+    import pandas as pd
+
+    from .gate import ctx
+
+    c = ctx(spark, sf_dir)
+    assets = (
+        c["feats"]["media"].select("media_ref").distinct()
+        .withColumn("blob", F.unhex(F.md5("media_ref")))
+    )
+
+    def resize(batches):
+        import numpy as np
+
+        for pdf in batches:
+            b0 = pdf["blob"].str[0].to_numpy(np.int64)
+            hi, lo = b0 >> 4, b0 & 15
+            ord_hi = np.where(hi < 10, 48 + hi, 87 + hi)
+            ord_lo = np.where(lo < 10, 48 + lo, 87 + lo)
+            w = 1 + (ord_hi * 7) % 640
+            h = 1 + (ord_lo * 5) % 480
+            m = np.maximum(w, h)
+            out_w = np.maximum(1, (w * 224) // m)
+            out_h = np.maximum(1, (h * 224) // m)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "out_bytes": out_w * out_h * 3,
+                }
+            )
+
+    return assets.mapInPandas(
+        resize, "media_ref string, out_w int, out_h int, out_bytes long"
+    )
+
+
 def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame sampling (real Arrow plumbing, fake decoder).
 
@@ -1373,6 +1441,7 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens_bpe": _sql_query(sql_text_tokens_bpe, "documents"),
         "text_pii_scrub": _sql_query(sql_text_pii_scrub, "documents"),
         "media_decode_stub": _q_media_decode,
+        "media_resize_stub": _q_media_resize,
         "media_frame_sample": _q_media_frames,
         "s8_change_merge": lambda spark, sf: spark.sql(
             sql_change_merge(_view(spark, sf, "events"), _view(spark, sf, "lineitem"),
@@ -1434,6 +1503,7 @@ def ml_oracle_sql() -> dict[str, str]:
         "text_tokens_bpe": sql_text_tokens_bpe("documents", "duck"),
         "text_pii_scrub": sql_text_pii_scrub("documents", "duck"),
         "media_decode_stub": sql_media_decode(media_src, "duck"),
+        "media_resize_stub": sql_media_resize(media_src, "duck"),
         "media_frame_sample": sql_media_frames(media_src, "duck"),
         "s8_change_merge": sql_change_merge("events", "lineitem", "duck"),
         "streaming_window_agg": sql_window_agg("events", "duck"),
