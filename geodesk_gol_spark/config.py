@@ -50,6 +50,47 @@ class BuildSettings:
         return BuildSettings(min_tile_density=density, max_tiles=max_tiles)
 
 
+def parse_levels(s: str) -> tuple[int, ...]:
+    """The build ``-l`` option: comma- or slash-separated zoom levels
+    (ZoomLevelsParser.cpp:8-25 — each must be an integer 0..12;
+    ``gol build -l bad`` exits 2, test_build.py:22-24).  The combined
+    check mirrors the GOL spec's pyramid constraints: root level 0
+    present, at most 8 levels, consecutive levels at most 3 apart (a
+    tile index child mask covers 8×8 = 3 zoom steps).
+
+    Returns the ladder in this engine's descending convention.  NOTE:
+    execution is currently pinned to the reference's DEFAULT ladder
+    0/3/6/9/12 (every pyramid derivation and oracle is single-sourced
+    on it); any other VALID ladder raises a clear error instead of
+    building a store that silently disagrees with the spec.
+    """
+    out: list[int] = []
+    for tok in s.replace("/", ",").split(","):
+        tok = tok.strip()
+        try:
+            v = float(tok)
+        except ValueError:
+            raise ValueError(
+                f"Expected number (0 to 12 inclusive): {tok!r}") from None
+        if v != int(v) or not 0 <= v <= 12:
+            raise ValueError(f"Expected number (0 to 12 inclusive): {tok!r}")
+        out.append(int(v))
+    levels = tuple(sorted(set(out) | {0}))
+    if len(levels) > 8:
+        raise ValueError(f"at most 8 zoom levels, got {len(levels)}")
+    for a, b in zip(levels, levels[1:]):
+        if b - a > 3:
+            raise ValueError(
+                f"consecutive zoom levels at most 3 apart: {a} -> {b}")
+    ladder = tuple(reversed(levels))
+    if ladder != ZOOM_LEVELS:
+        raise ValueError(
+            f"this engine is pinned to the reference default ladder "
+            f"{'/'.join(map(str, reversed(ZOOM_LEVELS)))}; got "
+            f"{'/'.join(map(str, levels))}")
+    return ladder
+
+
 def tile_id(zoom: int, col: int, row: int) -> int:
     """Pack (zoom, col, row) into one int: zoom<<24 | row<<12 | col."""
     return (zoom << 24) | (row << 12) | col

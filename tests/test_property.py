@@ -298,3 +298,48 @@ def test_area_parser_garbage_never_crashes_uncontrolled(garbage):
         parse_area_text(garbage)
     except (AreaParseError, ValueError):
         pass  # includes json.JSONDecodeError for malformed '{' inputs
+
+
+# ---------------------------------------------------------------------------
+# build -l option front-end (config.parse_levels)
+# ---------------------------------------------------------------------------
+
+def test_parse_levels_accepts_the_default_ladder():
+    from geodesk_gol_spark.config import ZOOM_LEVELS, parse_levels
+
+    assert parse_levels("0,3,6,9,12") == ZOOM_LEVELS
+    assert parse_levels("0/3/6/9/12") == ZOOM_LEVELS
+    assert parse_levels("12, 9, 6, 3, 0") == ZOOM_LEVELS
+    # level 0 is the implicit root
+    assert parse_levels("3,6,9,12") == ZOOM_LEVELS
+
+
+def test_parse_levels_rejects_bad_input_like_the_reference():
+    """gol build -l bad_bad_bad exits 2 (reference test_build.py:22-24);
+    our front-end raises ValueError for every malformed form."""
+    import pytest
+
+    from geodesk_gol_spark.config import parse_levels
+
+    for bad in ("bad_bad_bad", "0,3,x", "-1,3", "13", "2.5", ""):
+        with pytest.raises(ValueError):
+            parse_levels(bad)
+    # valid per-number but violates the pyramid constraints
+    with pytest.raises(ValueError, match="3 apart"):
+        parse_levels("0,4,8,12")
+    with pytest.raises(ValueError, match="at most 8"):
+        parse_levels("0,1,2,3,4,5,6,7,8,9")
+    # valid ladder the pinned engine does not execute: loud, not silent
+    with pytest.raises(ValueError, match="pinned"):
+        parse_levels("0,2,4,6,8,10,12")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(string.printable, max_size=30))
+def test_parse_levels_garbage_never_crashes_uncontrolled(garbage):
+    from geodesk_gol_spark.config import ZOOM_LEVELS, parse_levels
+
+    try:
+        assert parse_levels(garbage) == ZOOM_LEVELS
+    except ValueError:
+        pass  # the only acceptable failure mode
