@@ -454,15 +454,19 @@ def _q_j_exceptions(spark, sf):
     from geodesk_gol_spark.operators.validate import missing_member_tags
 
     c = ctx(spark, sf)
-    points = c["points"]
     base = 10_000_000_000
-    # 1-row frame with the smallest node id — broadcast-joined into the
-    # per-nation member lists (fully distributed; no driver collect)
-    anchor = points.agg(F.min("id").alias("nid"))
+    # the exception corpus references exactly ONE real node: the smallest
+    # node id (a bounded O(1) driver collect, same as p_get_by_id).  Using
+    # it as a literal lets the member-lookup side shrink to one row via a
+    # parquet-pushed filter — the resolver's extent join never shuffles
+    # the full point set (at planet scale that shuffle would dwarf the
+    # 150-row corpus), and no broadcast-subquery jobs are spawned
+    nid = c["points"].agg(F.min("id")).collect()[0][0]
+    points = c["points"].filter(F.col("id") == nid)
     nk = (
         base_tables(spark, sf)["nation"]
         .select(F.col("n_nationkey").cast("long").alias("k"))
-        .crossJoin(F.broadcast(anchor))
+        .withColumn("nid", F.lit(nid).cast("long"))
     )
 
     def m(t, idc, role):
