@@ -72,7 +72,9 @@ def parse_levels(s: str) -> tuple[int, ...]:
         except ValueError:
             raise ValueError(
                 f"Expected number (0 to 12 inclusive): {tok!r}") from None
-        if v != int(v) or not 0 <= v <= 12:
+        # bounds first: int(inf) raises OverflowError, and nan fails every
+        # comparison — both must surface as the same clean ValueError
+        if not 0 <= v <= 12 or v != int(v):
             raise ValueError(f"Expected number (0 to 12 inclusive): {tok!r}")
         out.append(int(v))
     levels = tuple(sorted(set(out) | {0}))

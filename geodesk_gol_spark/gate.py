@@ -185,17 +185,30 @@ def _prune_stale(current: Path) -> None:
     (plus their derived archive/tiledump caches) are unreachable
     forever.  Only siblings sharing this sf's name-prefix are touched;
     in-flight .tmp.<pid> staging dirs of live builders are left alone."""
+    import re
     import shutil
 
+    # cache names end in "-<12-hex code fp>-<8-hex data fp>"; the sf name
+    # itself may contain dashes, so strip the fixed-length suffix rather
+    # than splitting on the first dash (which would make e.g. "tpch-sf1"
+    # and "tpch-sf10" prune each other's live caches).
+    fp_re = re.compile(r"-([0-9a-f]{12})-([0-9a-f]{8})$")
+    cur_m = fp_re.search(current.name)
+    if not cur_m:
+        return
+    sf_name = current.name[: cur_m.start()]
+    cur_fp = cur_m.group(0)
     root = current.parent
-    sf_name = current.name.split("-", 1)[0]
     for p in root.iterdir():
         if p == current or ".tmp." in p.name:
             continue
-        stem = p.name.split("-", 1)[0]
-        # ctx caches: "<sf>-..."; derived caches: "<prefix>_<sf>-..."
+        m = fp_re.search(p.name)
+        if not m:
+            continue
+        stem = p.name[: m.start()]
+        # ctx caches: "<sf>-fp"; derived caches: "<prefix>_<sf>-fp"
         if stem == sf_name or stem.endswith(f"_{sf_name}"):
-            if not p.name.endswith(current.name.split("-", 1)[1]):
+            if m.group(0) != cur_fp:
                 shutil.rmtree(p, ignore_errors=True)
 
 

@@ -1180,8 +1180,12 @@ def _plane_vectors(spark: SparkSession, sf_dir: str, n_planes: int = 8,
                    base: int = 100) -> list[list[float]]:
     """Collect the n_planes hyperplane vectors (vec_id base..base+n-1)
     once — 8 rows from a pruned parquet scan — so the LSH SQL can inline
-    them as literals instead of 8 correlated scalar subqueries."""
-    key = f"{sf_dir}:{n_planes}:{base}"
+    them as literals instead of 8 correlated scalar subqueries.  Keyed by
+    the data fingerprint too: regenerated-in-place testdata must not keep
+    serving stale plane vectors while ctx() rebuilds everything else."""
+    from .gate import _data_fingerprint
+
+    key = f"{sf_dir}:{_data_fingerprint(sf_dir)}:{n_planes}:{base}"
     if key not in _PLANES_CACHE:
         rows = (
             spark.read.parquet(f"{sf_dir}/embeddings.parquet")

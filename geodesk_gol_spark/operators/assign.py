@@ -240,8 +240,6 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
     # scheduler latency to move a handful of rows.  Above it — a corpus
     # whose super-hierarchy IS big — the distributed passes keep the
     # rel→rel frame off the driver.
-    import os as _os
-
     j6_driver_max = int(_os.environ.get("SPARK_GRAFT_J6_DRIVER_MAX", "65536"))
     _tick("setup")
 

@@ -149,9 +149,10 @@ def parse_area(value: str) -> list[Ring]:
     value = value.strip()
     if value.startswith("@"):
         return parse_area_text(_read_area_file(value[1:]))
-    # the reference's heuristic: any comma/space/tab ⇒ literal coords
-    head = value.split("\n", 1)[0]
-    if not any(c in head for c in ", \t") and not value.startswith("{"):
+    # the reference's heuristic: any comma/space/tab ⇒ literal coords.
+    # Scan the WHOLE value (a file name can never contain a newline, so
+    # a multiline keyword-prefixed literal must not be opened as a file).
+    if not any(c in value for c in ", \t\n") and not value.startswith("{"):
         return parse_area_text(_read_area_file(value))
     return parse_area_text(value)
 

@@ -91,44 +91,17 @@ def bbox_filter(
 def point_in_polygon_udf(poly_xy: list[tuple[float, float]]):
     """Pandas UDF: True where (x, y) falls inside the (closed) polygon.
 
-    Even-odd ray casting, vectorized over the batch per edge — O(edges)
-    numpy passes, no per-row Python.
+    Strict single-ring special case of :func:`point_in_rings_udf` —
+    one even-odd ray-casting implementation to keep correct.
     """
-    px = np.array([p[0] for p in poly_xy], dtype=np.float64)
-    py = np.array([p[1] for p in poly_xy], dtype=np.float64)
-    if px[0] != px[-1] or py[0] != py[-1]:
-        px = np.append(px, px[0])
-        py = np.append(py, py[0])
-
-    @F.pandas_udf(BooleanType())
-    def pip(x: pd.Series, y: pd.Series) -> pd.Series:
-        xs = x.to_numpy(dtype=np.float64)
-        ys = y.to_numpy(dtype=np.float64)
-        inside = np.zeros(len(xs), dtype=bool)
-        # horizontal edges (y1 == y0) divide by zero; their crossing
-        # mask is False anyway — silence the IEEE warning so an
-        # np.seterr(divide='raise') environment can't kill the job
-        with np.errstate(divide="ignore", invalid="ignore"):
-            for i in range(len(px) - 1):
-                x0, y0, x1, y1 = px[i], py[i], px[i + 1], py[i + 1]
-                crosses = ((y0 > ys) != (y1 > ys)) & (
-                    xs < (x1 - x0) * (ys - y0) / (y1 - y0) + x0
-                )
-                inside ^= crosses
-        return pd.Series(inside)
-
-    return pip
+    return point_in_rings_udf([list(poly_xy)])
 
 
 def polygon_filter(store: DataFrame, catalog: TileCatalog, poly_xy) -> DataFrame:
-    """Tile pre-prune by polygon bbox, then exact PIP on feature centers."""
-    minx = int(min(p[0] for p in poly_xy))
-    maxx = int(max(p[0] for p in poly_xy))
-    miny = int(min(p[1] for p in poly_xy))
-    maxy = int(max(p[1] for p in poly_xy))
-    pruned = bbox_filter(store, catalog, minx, miny, maxx, maxy)
-    pip = point_in_polygon_udf(poly_xy)
-    return pruned.filter(pip(F.col("cx"), F.col("cy")))
+    """Tile pre-prune by polygon bbox, then exact PIP on feature centers.
+
+    Single-ring special case of :func:`area_filter`."""
+    return area_filter(store, catalog, [list(poly_xy)])
 
 
 def point_in_rings_udf(rings: list[list[tuple[float, float]]]):

@@ -73,6 +73,9 @@ def test_file_forms(tmp_path):
     assert parse_area(str(p)[:-4]) == [world(SQ_DEG)]
     # literal coords are detected by the comma/space heuristic
     assert parse_area(SQUARE) == [world(SQ_DEG)]
+    # a multiline literal with the keyword alone on its first line is a
+    # literal, not a file: file names cannot contain a newline
+    assert parse_area(f"polygon\n({SQUARE})") == [world(SQ_DEG)]
 
 
 def test_errors():

@@ -65,15 +65,23 @@ def test_gatecache_prunes_stale_fingerprints(tmp_path):
     staging dirs survive."""
     from geodesk_gol_spark.gate import _prune_stale
 
+    # realistic names: "<sf>-<12-hex code fp>-<8-hex data fp>"
+    NEW = "aaaaaaaaaaaa-11111111"
+    OLD = "bbbbbbbbbbbb-22222222"
     names = [
-        "sf0.01-NEW-D", "sf0.01-OLD-D", "sf0.001-OLD-D",
-        "archive_sf0.01-OLD-D", "archive_sf0.01-NEW-D",
-        "archive_sf0.001-OLD-D", "sf0.01-OLD-D.tmp.123",
+        f"sf0.01-{NEW}", f"sf0.01-{OLD}", f"sf0.001-{OLD}",
+        f"archive_sf0.01-{OLD}", f"archive_sf0.01-{NEW}",
+        f"archive_sf0.001-{OLD}", f"sf0.01-{OLD}.tmp.123",
+        # sf names containing a dash must not be treated as prefixes of
+        # each other (tpch-sf1 vs tpch-sf10)
+        f"tpch-sf1-{NEW}", f"tpch-sf1-{OLD}", f"tpch-sf10-{OLD}",
     ]
     for n in names:
         (tmp_path / n).mkdir()
-    _prune_stale(tmp_path / "sf0.01-NEW-D")
+    _prune_stale(tmp_path / f"sf0.01-{NEW}")
+    _prune_stale(tmp_path / f"tpch-sf1-{NEW}")
     assert sorted(p.name for p in tmp_path.iterdir()) == sorted([
-        "sf0.01-NEW-D", "sf0.001-OLD-D", "archive_sf0.01-NEW-D",
-        "archive_sf0.001-OLD-D", "sf0.01-OLD-D.tmp.123",
+        f"sf0.01-{NEW}", f"sf0.001-{OLD}", f"archive_sf0.01-{NEW}",
+        f"archive_sf0.001-{OLD}", f"sf0.01-{OLD}.tmp.123",
+        f"tpch-sf1-{NEW}", f"tpch-sf10-{OLD}",
     ])

@@ -321,7 +321,8 @@ def test_parse_levels_rejects_bad_input_like_the_reference():
 
     from geodesk_gol_spark.config import parse_levels
 
-    for bad in ("bad_bad_bad", "0,3,x", "-1,3", "13", "2.5", ""):
+    for bad in ("bad_bad_bad", "0,3,x", "-1,3", "13", "2.5", "",
+                "inf", "-inf", "nan"):
         with pytest.raises(ValueError):
             parse_levels(bad)
     # valid per-number but violates the pyramid constraints
