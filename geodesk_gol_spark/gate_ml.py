@@ -172,6 +172,74 @@ def sql_dedup_minhash(t: str, d: str, n_hash: int = 8, cap: int = 50) -> str:
     """
 
 
+def sql_dedup_incremental(t: str, d: str, n_hash: int = 8,
+                          cap: int = 50) -> str:
+    """Cross-snapshot (incremental) dedup — the daily shape of a
+    training-data pipeline: a NEW document batch must be deduplicated
+    against the already-ingested SEEN corpus without ever re-pairing
+    seen×seen.  The split is deterministic on the doc_id hash (~8:2
+    seen:new).  Banded minhash-LSH buckets are built over both sides,
+    but the candidate join is strictly seen×new; candidates are then
+    verified by exact shingle containment (same 2·common ≥ union
+    criterion as ``sql_dedup_minhash``).  One row per duplicate NEW doc:
+    its canonical (smallest) SEEN target and how many seen docs matched.
+
+    At 10^12-doc scale the seen side's band buckets are a materialized
+    table; each arriving batch shuffles only its OWN signatures into
+    those buckets — no all-pairs term and no seen-corpus rescan beyond
+    the bucket join."""
+    P = 2147483647
+    mixers = [((2654435761 * (i + 1)) % P | 1, (2246822519 * (i + 3)) % P)
+              for i in range(n_hash)]
+    sig_cols = ", ".join(
+        f"min(((h0 % {P}) * {a} + {b}) % {P}) AS mh{i}"
+        for i, (a, b) in enumerate(mixers)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, side, {b} AS band, "
+        f"concat(CAST(mh{2*b} AS STRING), '_', "
+        f"CAST(mh{2*b+1} AS STRING)) AS key FROM sigs"
+        for b in range(n_hash // 2)
+    )
+    side = (f"CASE WHEN {hex2int('CAST(doc_id AS STRING)', d)} % 10 < 8 "
+            f"THEN 'seen' ELSE 'new' END")
+    return f"""
+    WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({shingles_from(t, d)})),
+    common AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {cap}),
+    sh2 AS (SELECT s.doc_id, s.sh FROM sh s JOIN common c ON c.sh = s.sh),
+    hashes AS (SELECT doc_id, {hex2int('sh', d)} AS h0 FROM sh2),
+    sigs AS (
+      SELECT doc_id, {side} AS side, {sig_cols}
+      FROM hashes GROUP BY doc_id
+    ),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT s.doc_id AS seen_doc, n.doc_id AS new_doc
+      FROM bands s JOIN bands n
+        ON s.band = n.band AND s.key = n.key
+       AND s.side = 'seen' AND n.side = 'new'
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+    verified AS (
+      SELECT c.seen_doc, c.new_doc, count(*) AS com
+      FROM cand c
+      JOIN sh2 a ON a.doc_id = c.seen_doc
+      JOIN sh2 b ON b.doc_id = c.new_doc AND b.sh = a.sh
+      GROUP BY c.seen_doc, c.new_doc
+    ),
+    dups AS (
+      SELECT v.new_doc, v.seen_doc
+      FROM verified v
+      JOIN sizes sa ON sa.doc_id = v.seen_doc
+      JOIN sizes sb ON sb.doc_id = v.new_doc
+      WHERE v.com * 2 >= sa.n + sb.n - v.com
+    )
+    SELECT new_doc, min(seen_doc) AS canon_seen,
+           CAST(count(*) AS BIGINT) AS n_matches
+    FROM dups GROUP BY new_doc
+    """
+
+
 def sql_dedup_simhash(t: str, d: str, bits: int = 32) -> str:
     h = hex2int("w", d)
     bit_terms = " + ".join(
@@ -1467,6 +1535,7 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_kmeans_iter": _sql_query_planes(sql_ann_kmeans_iter,
                                              "embeddings", base=200,
                                              kw="cents"),
+        "dedup_incremental": _sql_query(sql_dedup_incremental, "documents"),
     }
 
 
@@ -1512,4 +1581,5 @@ def ml_oracle_sql() -> dict[str, str]:
         "s8_change_merge": sql_change_merge("events", "lineitem", "duck"),
         "streaming_window_agg": sql_window_agg("events", "duck"),
         "events_sessionize": _sql_sessionize("events", "duck"),
+        "dedup_incremental": sql_dedup_incremental("documents", "duck"),
     }

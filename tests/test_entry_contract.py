@@ -24,6 +24,7 @@ SAMPLE = [
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "dedup_embed_cosine",
+    "dedup_incremental",
     "raster_zonal_stats",
     "text_fingerprint",
     "text_decontaminate",
@@ -85,3 +86,26 @@ def test_gatecache_prunes_stale_fingerprints(tmp_path):
         f"archive_sf0.001-{OLD}", f"sf0.01-{OLD}.tmp.123",
         f"tpch-sf1-{NEW}", f"tpch-sf10-{OLD}",
     ])
+
+
+def test_dedup_incremental_pairs_cross_sides_only(spark):
+    """Every reported duplicate pairs a NEW-batch doc with a SEEN-corpus
+    canonical: the whole point of incremental dedup is that seen×seen is
+    never re-paired and new docs dedupe against history, so a row whose
+    new_doc hashes to the seen side (or vice versa) means the side split
+    leaked through the LSH band join."""
+    from pyspark.sql import functions as F
+
+    got = E.queries()["dedup_incremental"](spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    side = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+               16, 10).cast("long") % 10 < 8
+    )
+    seen_ids = {r.doc_id for r in docs.filter(side).select("doc_id").collect()}
+    rows = got.collect()
+    assert rows, "fixture corpus must contain at least one cross-side dup"
+    for r in rows:
+        assert r.new_doc not in seen_ids, r
+        assert r.canon_seen in seen_ids, r
+        assert r.n_matches >= 1
