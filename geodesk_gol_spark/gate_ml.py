@@ -836,6 +836,81 @@ def sql_ann_kmeans_iter(t: str, d: str, n_cent: int = 8, base: int = 200,
     """
 
 
+def sql_ann_kmeans_lloyd(t: str, d: str, n_cent: int = 8, base: int = 200,
+                         dim: int = 64) -> str:
+    """TWO full Lloyd rounds (assign → re-center → assign → re-center →
+    assign), reported as per-centroid membership + within-cluster sum of
+    squares — the fixed-iteration oracle for the ITERATIVE engine loop
+    ``functions.kmeans.kmeans_lloyd`` (which runs until fixed point; the
+    gate pins max_iters=2 so both engines execute the same rounds).
+    All arithmetic is integer in milli-space (components floored to
+    milli once; centroid update floor(sum/n)) so partial-aggregation
+    order can't perturb a single bit.  Centroids that lose all members
+    drop out, same rule both sides."""
+    if d == "spark":
+        tolist = (f"transform(embedding, x -> "
+                  f"CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        dims = (f"(SELECT CAST(explode(sequence(1, {dim})) AS INT) AS dim)"
+                f" dims")
+        elem = "mx[dim - 1]"
+    else:
+        tolist = (f"list_transform(embedding, x -> "
+                  f"CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        dims = (f"(SELECT CAST(unnest(range(1, {dim + 1})) AS INT) AS dim)"
+                f" dims")
+        elem = "mx[dim]"
+
+    def _round(prev_assign: str, cN: str, sN: str, aN: str) -> str:
+        return f"""
+    {cN} AS (
+      SELECT a.centroid AS centroid, d.dim AS dim,
+             CAST(floor(CAST(sum(d.x) AS DOUBLE) / count(*)) AS BIGINT) AS c
+      FROM d JOIN {prev_assign} a ON a.vec_id = d.vec_id
+      GROUP BY a.centroid, d.dim
+    ),
+    {sN} AS (
+      SELECT d.vec_id AS vec_id, c.centroid AS centroid,
+             sum((d.x - c.c) * (d.x - c.c)) AS s
+      FROM d JOIN {cN} c ON c.dim = d.dim
+      GROUP BY d.vec_id, c.centroid
+    ),
+    {aN} AS (
+      SELECT vec_id, centroid, s FROM (
+        SELECT vec_id, centroid, s,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s, centroid) AS rn
+        FROM {sN}
+      ) WHERE rn = 1
+    )"""
+
+    return f"""
+    WITH x AS (SELECT vec_id, {tolist} AS mx FROM {t}),
+    d AS (SELECT vec_id, dim, {elem} AS x FROM x, {dims}),
+    c0 AS (
+      SELECT CAST(vec_id - {base} AS INT) AS centroid, dim, {elem} AS c
+      FROM x, {dims}
+      WHERE vec_id BETWEEN {base} AND {base + n_cent - 1}
+    ),
+    s0 AS (
+      SELECT d.vec_id AS vec_id, c.centroid AS centroid,
+             sum((d.x - c.c) * (d.x - c.c)) AS s
+      FROM d JOIN c0 c ON c.dim = d.dim
+      GROUP BY d.vec_id, c.centroid
+    ),
+    a0 AS (
+      SELECT vec_id, centroid FROM (
+        SELECT vec_id, centroid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s, centroid) AS rn
+        FROM s0
+      ) WHERE rn = 1
+    ),{_round('a0', 'c1', 's1', 'a1')},{_round('a1', 'c2', 's2', 'a2')}
+    SELECT centroid, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(s) AS BIGINT) AS wcss
+    FROM a2 GROUP BY centroid
+    """
+
+
 def sql_ann_ivf_topk(t: str, d: str, k: int = 5, n_q: int = 4,
                      n_cent: int = 8, base: int = 200, nprobe: int = 2,
                      cents: list | None = None) -> str:
@@ -1341,6 +1416,22 @@ def _sql_query_planes(template, table: str, base: int = 100,
     return run
 
 
+def _q_ann_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The genuinely ITERATIVE path: functions.kmeans.kmeans_lloyd runs
+    assign → integer re-center rounds with only the k×dim centroid state
+    on the driver; pinned to max_iters=2 here so the fixed-2-round SQL
+    oracle executes the identical arithmetic."""
+    from .functions.kmeans import kmeans_lloyd
+
+    cents = _plane_vectors(spark, sf_dir, 8, 200)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, asn, _ = kmeans_lloyd(emb, cents, max_iters=2)
+    return asn.groupBy("centroid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("score").alias("wcss"),
+    )
+
+
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode stub (real Arrow plumbing, fake decoder).
 
@@ -1536,6 +1627,7 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                              "embeddings", base=200,
                                              kw="cents"),
         "dedup_incremental": _sql_query(sql_dedup_incremental, "documents"),
+        "ann_kmeans_lloyd": _q_ann_kmeans_lloyd,
     }
 
 
@@ -1582,4 +1674,5 @@ def ml_oracle_sql() -> dict[str, str]:
         "streaming_window_agg": sql_window_agg("events", "duck"),
         "events_sessionize": _sql_sessionize("events", "duck"),
         "dedup_incremental": sql_dedup_incremental("documents", "duck"),
+        "ann_kmeans_lloyd": sql_ann_kmeans_lloyd("embeddings", "duck"),
     }

@@ -109,3 +109,28 @@ def test_dedup_incremental_pairs_cross_sides_only(spark):
         assert r.new_doc not in seen_ids, r
         assert r.canon_seen in seen_ids, r
         assert r.n_matches >= 1
+
+
+def test_kmeans_lloyd_iterates_to_fixed_point(spark):
+    """The loop is genuinely iterative: WCSS never increases round over
+    round (Lloyd's monotonicity, exact here because the arithmetic is
+    integer), and with a generous max_iters the integer centroids reach
+    a fixed point before the cap."""
+    from pyspark.sql import functions as F
+
+    from geodesk_gol_spark.functions.kmeans import kmeans_lloyd
+    from geodesk_gol_spark.gate_ml import _plane_vectors
+
+    cents = _plane_vectors(spark, SF_DIR, 8, 200)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    wcss = []
+    for iters in (1, 2, 3):
+        _, asn, ran = kmeans_lloyd(emb, cents, max_iters=iters)
+        assert ran <= iters
+        wcss.append(asn.agg(F.sum("score")).collect()[0][0])
+    assert wcss[0] >= wcss[1] >= wcss[2]
+
+    final_cents, _, ran = kmeans_lloyd(emb, cents, max_iters=50)
+    assert ran < 50, "must converge on the fixture corpus"
+    assert final_cents, "at least one centroid must survive"
