@@ -132,9 +132,9 @@ def sql_dedup_minhash(t: str, d: str, n_hash: int = 8, cap: int = 50) -> str:
     # seed) via a seeds cross join + pivot — cost 8× the hashing and an
     # extra corpus-sized aggregate; this is the standard datasketch-
     # style minhash and is what survives a 10^12-doc corpus.
-    P = 2147483647
-    mixers = [((2654435761 * (i + 1)) % P | 1, (2246822519 * (i + 3)) % P)
-              for i in range(n_hash)]
+    from .functions.minhash import P, mixers as _mixers
+
+    mixers = _mixers(n_hash)
     sig_cols = ", ".join(
         f"min(((h0 % {P}) * {a} + {b}) % {P}) AS mh{i}"
         for i, (a, b) in enumerate(mixers)
@@ -188,9 +188,9 @@ def sql_dedup_incremental(t: str, d: str, n_hash: int = 8,
     table; each arriving batch shuffles only its OWN signatures into
     those buckets — no all-pairs term and no seen-corpus rescan beyond
     the bucket join."""
-    P = 2147483647
-    mixers = [((2654435761 * (i + 1)) % P | 1, (2246822519 * (i + 3)) % P)
-              for i in range(n_hash)]
+    from .functions.minhash import P, mixers as _mixers
+
+    mixers = _mixers(n_hash)
     sig_cols = ", ".join(
         f"min(((h0 % {P}) * {a} + {b}) % {P}) AS mh{i}"
         for i, (a, b) in enumerate(mixers)
@@ -237,6 +237,60 @@ def sql_dedup_incremental(t: str, d: str, n_hash: int = 8,
     SELECT new_doc, min(seen_doc) AS canon_seen,
            CAST(count(*) AS BIGINT) AS n_matches
     FROM dups GROUP BY new_doc
+    """
+
+
+def sql_dedup_stream_pairs(t: str, d: str, n_hash: int = 8) -> str:
+    """Batch oracle for ``streaming.dedup``: the global LSH-candidate
+    pair set (da < db sharing a band bucket, verified by exact
+    distinct-shingle-hash containment) aggregated per duplicate doc —
+    chunk-invariance means the streaming run over ANY doc_id-ordered
+    chunking must emit exactly these pairs.  No hot-shingle cap (the
+    cap is a corpus-wide statistic with no chunk-stable analogue; see
+    streaming/dedup.py); verification joins on the 48-bit shingle
+    HASH, matching the streaming state layout."""
+    from .functions.minhash import P, mixers as _mixers
+
+    mixers = _mixers(n_hash)
+    sig_cols = ", ".join(
+        f"min(((h0 % {P}) * {a} + {b}) % {P}) AS mh{i}"
+        for i, (a, b) in enumerate(mixers)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat(CAST(mh{2*b} AS STRING), '_', "
+        f"CAST(mh{2*b+1} AS STRING)) AS key FROM sigs"
+        for b in range(n_hash // 2)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, {hex2int('sh', d)} AS h0
+      FROM ({shingles_from(t, d)})
+    ),
+    sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT c.da, c.db, count(*) AS com
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.da
+      JOIN sh b ON b.doc_id = c.db AND b.h0 = a.h0
+      GROUP BY c.da, c.db
+    ),
+    dups AS (
+      SELECT v.da, v.db
+      FROM verified v
+      JOIN sizes sa ON sa.doc_id = v.da
+      JOIN sizes sb ON sb.doc_id = v.db
+      WHERE v.com * 2 >= sa.n + sb.n - v.com
+    )
+    SELECT db AS new_doc, min(da) AS canon_seen,
+           CAST(count(*) AS BIGINT) AS n_matches
+    FROM dups GROUP BY db
     """
 
 
@@ -1416,6 +1470,60 @@ def _sql_query_planes(template, table: str, base: int = 100,
     return run
 
 
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the streaming incremental-dedup pipeline over a 3-chunk,
+    doc_id-ordered staging of the documents table (memoized via the
+    fingerprinted derived-cache dir), then return the per-duplicate
+    aggregation of the emitted pairs.  The oracle is ONE batch SQL
+    statement over the same table — equality IS the chunk-invariance
+    property the streaming design claims."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from .gate import derived_cache_dir
+    from .streaming.dedup import (
+        dedup_pairs_frame, read_doc_stream_chunks,
+        stream_dedup_against_history,
+    )
+
+    base = derived_cache_dir(sf_dir, "streamdedup")
+    done = base / "_DONE"
+    if not done.exists():
+        chunks = base / "chunks"
+        if chunks.exists():
+            _shutil.rmtree(base)
+        chunks.mkdir(parents=True)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        lo, hi = docs.agg(
+            F.min("doc_id"), F.max("doc_id")).collect()[0]
+        cut1 = lo + (hi - lo) // 3
+        cut2 = lo + 2 * (hi - lo) // 3
+        ranges = [
+            F.col("doc_id") <= cut1,
+            (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2),
+            F.col("doc_id") > cut2,
+        ]
+        for i, cond in enumerate(ranges):
+            tmp = str(base / f"stage{i}")
+            docs.filter(cond).coalesce(1).write.mode(
+                "overwrite").parquet(tmp)
+            part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+            dst = str(chunks / f"c{i}.parquet")
+            _shutil.move(part, dst)
+            _shutil.rmtree(tmp)
+            # the file source orders batches by modification time:
+            # chunk i must be ingested before chunk i+1 so every pair
+            # is emitted with new_doc = the larger doc_id
+            _os.utime(dst, (1_000_000_000 + i * 3600,) * 2)
+        stream = read_doc_stream_chunks(spark, str(chunks))
+        stream_dedup_against_history(
+            stream, str(base / "state"), str(base / "pairs"),
+            str(base / "ckpt"))
+        done.touch()
+    return dedup_pairs_frame(spark, str(base / "pairs"))
+
+
 def _q_ann_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The genuinely ITERATIVE path: functions.kmeans.kmeans_lloyd runs
     assign → integer re-center rounds with only the k×dim centroid state
@@ -1628,6 +1736,7 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                              kw="cents"),
         "dedup_incremental": _sql_query(sql_dedup_incremental, "documents"),
         "ann_kmeans_lloyd": _q_ann_kmeans_lloyd,
+        "streaming_dedup_incremental": _q_streaming_dedup,
     }
 
 
@@ -1675,4 +1784,6 @@ def ml_oracle_sql() -> dict[str, str]:
         "events_sessionize": _sql_sessionize("events", "duck"),
         "dedup_incremental": sql_dedup_incremental("documents", "duck"),
         "ann_kmeans_lloyd": sql_ann_kmeans_lloyd("embeddings", "duck"),
+        "streaming_dedup_incremental": sql_dedup_stream_pairs(
+            "documents", "duck"),
     }
