@@ -357,3 +357,32 @@ def test_knn_rings_equals_bruteforce(built, spark):
     rings = knn_cell_rings(pts, qs, k=5, ring=2).select("q_id", "neighbor_id", "rank")
     assert bf.exceptAll(rings).count() == 0
     assert rings.exceptAll(bf).count() == 0
+
+
+def test_span_sequence_preserved_through_store(built, spark):
+    """North-rule per-row invariant END-TO-END: for every document, the
+    (kind, span_seq) subsequence of its geometry spans survives parse →
+    assign → compile → store write → read back, bit-for-bit.  The store
+    holds one row per (feature, tile) — copies collapse by DISTINCT —
+    and typed_id % 4 encodes the kind, so the reconstruction uses only
+    store columns."""
+    res, store = built
+    kind_of = {0: "node", 1: "way", 2: "relation"}
+    got = {
+        (r.doc_id, r.span_seq): kind_of[r.k]
+        for r in store.select(
+            "doc_id", "span_seq",
+            (F.col("typed_id") % 4).cast("int").alias("k"),
+        ).distinct().collect()
+    }
+    src = spark.read.parquet(os.path.join(res.out_dir, "docs"))
+    want = {
+        (str(r.doc_id), r.seq): r.kind
+        for r in src.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.posexplode("spans").alias("seq", "s"),
+        ).select("doc_id", "seq", "s.kind")
+        .filter(F.col("kind").isin("node", "way", "relation"))
+        .collect()
+    }
+    assert got == want
