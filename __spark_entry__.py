@@ -1202,6 +1202,28 @@ def _q_s9_map_roundtrip(spark, sf):
     return spark.createDataFrame([(p,) for p in pops], "popup string")
 
 
+def _q_a8_lineage_tiles(spark, sf):
+    """Per-partition lineage with teeth: return the per-tile row counts
+    the build RECORDED in its lineage table (north rule "per-partition
+    lineage"), not a recomputed aggregate — verified against the oracle's
+    independent per-tile assignment counts.  A build whose lineage table
+    is missing, stale, or wrong fails this row even if its store is fine.
+    Shares the memoized a8build pipeline run (resumable store batches,
+    plans/pipeline.py stage 6)."""
+    from geodesk_gol_spark.gate import derived_cache_dir
+    from geodesk_gol_spark.plans.pipeline import build_gol
+
+    path = derived_cache_dir(sf, "a8build")
+    lpath = path / "lineage"
+    if not (lpath / "_SUCCESS").exists():
+        build_gol(spark, sf, str(path))
+    return (
+        spark.read.parquet(str(lpath))
+        .filter(F.col("stage") == "store_tile")
+        .select("tile_id", "n_rows")
+    )
+
+
 def _q_a8_build_metrics(spark, sf):
     """A8 with teeth: run the FULL resumable pipeline once (memoized,
     code+data fingerprinted — re-runs resume off the stage _SUCCESS
@@ -1374,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # absolute last (slowest-last convention): one memoized full
     # pipeline build certifying the A8 metrics/lineage recording
     q["a8_build_metrics"] = _q_a8_build_metrics
+    q["a8_lineage_tiles"] = _q_a8_lineage_tiles
     return q
 
 
@@ -1880,6 +1903,12 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(count(*) AS BIGINT) AS tiles, "
         "CAST(max(n_rows) AS BIGINT) AS max_tile_rows, "
         "CAST(sum(n_rows) AS BIGINT) AS total_rows "
+        f"FROM ({o['s5_archive_manifest']})"
+    )
+    # A8 lineage: the RECORDED per-tile lineage rows must equal the same
+    # independent per-tile assignment counts the s5 oracle derives
+    o["a8_lineage_tiles"] = (
+        "SELECT tile_id, n_rows "
         f"FROM ({o['s5_archive_manifest']})"
     )
     # U3: same manifest counts restricted to tiles whose world-coordinate

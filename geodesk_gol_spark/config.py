@@ -44,6 +44,11 @@ class BuildSettings:
     zoom_levels: tuple[int, ...] = ZOOM_LEVELS
     rtree_branch_size: int = 16      # Hilbert leaf run (BuildSettings.h:166)
     shuffle_partitions: int = 32
+    # store-write checkpoint granularity: contiguous tile-id ranges per
+    # independent commit (reference putTile transactions, batched —
+    # Compiler.cpp:960-976); bounds lost work on a killed build without
+    # one-commit-per-tile object-store churn
+    store_batches: int = 8
 
     @staticmethod
     def for_fixture(density: int = 500, max_tiles: int = 65_535) -> "BuildSettings":

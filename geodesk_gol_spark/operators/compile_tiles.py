@@ -128,3 +128,150 @@ def write_store(rows: DataFrame, path: str, partitions: int | None = None) -> No
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def plan_tile_batches(tiles, n_batches: int) -> list[tuple[int, int]]:
+    """Split the tile catalog into ≤n_batches contiguous tile-id ranges of
+    roughly equal node weight.
+
+    Weighting by the catalog's per-tile ``node_count`` (not tile count)
+    keeps batch checkpoints balanced under hot-tile skew: a dense urban
+    range gets fewer tiles per batch, a sparse ocean range more.  Ranges
+    are [lo, hi] inclusive and cover all of int32 tile-id space (the
+    first starts at 0, the last ends at 2^31-1) so every store row —
+    including ghosts in tiles the node catalog missed — lands in exactly
+    one batch.
+    """
+    t = tiles.sort_values("tile_id").reset_index(drop=True)
+    ids = t["tile_id"].astype("int64").tolist()
+    w = t["node_count"].astype("int64").clip(lower=1).tolist()
+    total = sum(w)
+    n_batches = max(1, min(int(n_batches), len(t)))
+    target = total / n_batches
+    # greedy: close a batch when it reaches target weight; close it EARLY
+    # when the next tile alone exceeds target, so a planet-scale hot tile
+    # gets its own batch instead of dragging its light neighbors along
+    bounds: list[int] = []  # exclusive upper tile_id of each cut
+    cur = 0.0
+    for i, wi in enumerate(w):
+        if len(bounds) >= n_batches - 1 or i == len(ids) - 1:
+            break
+        if cur > 0 and wi > target:
+            bounds.append(ids[i - 1] + 1)  # cut BEFORE the hot tile
+            cur = 0.0
+        cur += wi
+        if cur >= target and len(bounds) < n_batches - 1:
+            bounds.append(ids[i] + 1)
+            cur = 0.0
+    lo = 0
+    ranges = []
+    for b in bounds:
+        ranges.append((lo, b - 1))
+        lo = b
+    ranges.append((lo, (1 << 31) - 1))
+    return ranges
+
+
+def write_store_resumable(
+    rows: DataFrame,
+    path: str,
+    tiles,
+    partitions: int | None = None,
+    n_batches: int = 8,
+) -> list[dict]:
+    """S4 with per-tile-range checkpoints: the store is written as
+    independent contiguous tile-id batches, each a restartable
+    transaction, then finalized into the flat layout ``write_store``
+    produces.
+
+    The reference commits each compiled tile under a store transaction
+    (src/build/compile/Compiler.cpp:960-976 ``putTile``) inside a
+    restartable build phase (src/build/GolBuilder.cpp:61-115); the Spark
+    re-expression makes the checkpoint unit a contiguous tile-id RANGE
+    (a "pile set"), because one output transaction per tile (65 535
+    commits) is an object-store anti-pattern while ~dozens of
+    range-batches amortize job setup yet still bound lost work.
+
+    Mechanics:
+      * each batch b writes ``<path>/_batches/b<i>`` with Spark's own
+        ``_SUCCESS`` as the commit marker; a re-run skips committed
+        batches (kill the job mid-store and only in-flight batches redo)
+      * ``rows`` should be a parquet-backed scan range-partitioned on
+        tile_id (the pipeline checkpoints ``store_input`` that way) so
+        each batch's ``tile_id BETWEEN`` filter prunes row groups
+        instead of rescanning the corpus — total scan cost stays O(N)
+        across all batches
+      * finalize hardlinks batch part-files into ``<path>`` (same
+        layout/naming contract as ``write_store``; readers and DuckDB
+        glob see one flat parquet dir) and stamps ``<path>/_SUCCESS``;
+        a crash mid-finalize re-links idempotently on resume
+      * returns per-batch lineage dicts (batch, tile range, rows,
+        seconds, resumed) — row counts read from parquet footers, no
+        extra Spark job
+
+    Spark ignores ``_``-prefixed subdirs, so ``_batches`` stays inside
+    the store without affecting ``spark.read.parquet(path)``.
+    """
+    import glob
+    import os
+    import shutil
+    import time
+
+    import pyarrow.parquet as pq
+
+    n = int(
+        partitions
+        or rows.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    ranges = plan_tile_batches(tiles, n_batches)
+    per_batch = max(2, n // len(ranges))
+    os.makedirs(path, exist_ok=True)
+    done_marker = os.path.join(path, "_SUCCESS")
+    lineage: list[dict] = []
+
+    def _batch_rows(bdir: str) -> int:
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(bdir, "*.parquet"))
+        )
+
+    for i, (lo, hi) in enumerate(ranges):
+        bdir = os.path.join(path, "_batches", f"b{i:03d}")
+        resumed = os.path.exists(os.path.join(bdir, "_SUCCESS"))
+        t0 = time.time()
+        if not resumed:
+            if os.path.exists(bdir):
+                shutil.rmtree(bdir)  # partial write from a dead run
+            (
+                rows.filter(F.col("tile_id").between(lo, hi))
+                .repartitionByRange(per_batch, "tile_id", "hilbert",
+                                    "ftype", "id")
+                .sortWithinPartitions("tile_id", "hilbert", "ftype", "id")
+                .write.mode("overwrite")
+                .parquet(bdir)
+            )
+        lineage.append({
+            "stage": "store_batch", "batch": i,
+            "tile_lo": lo, "tile_hi": hi,
+            "rows": _batch_rows(bdir),
+            "seconds": round(time.time() - t0, 3),
+            "resumed": resumed,
+        })
+
+    # finalize: hardlink every batch part into the flat store dir.
+    # Idempotent — a crash between link and marker just re-links.
+    if os.path.exists(done_marker):
+        os.remove(done_marker)
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        os.remove(f)  # stale links from a partial finalize
+    for i in range(len(ranges)):
+        bdir = os.path.join(path, "_batches", f"b{i:03d}")
+        for f in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
+            dst = os.path.join(path, f"b{i:03d}-{os.path.basename(f)}")
+            try:
+                os.link(f, dst)
+            except OSError:
+                shutil.copy2(f, dst)
+    with open(done_marker, "w"):
+        pass
+    return lineage

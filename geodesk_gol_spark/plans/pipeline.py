@@ -33,7 +33,11 @@ from ..config import BuildSettings
 from ..functions.mercator import with_projection
 from ..operators import validate as V
 from ..operators.assign import assign_features
-from ..operators.compile_tiles import compile_feature_rows, write_store
+from ..operators.compile_tiles import (
+    compile_feature_rows,
+    write_store,
+    write_store_resumable,
+)
 from ..plans.pyramid import TileCatalog, build_tile_catalog
 from ..sources.parser import parse_features_unified, split_features
 from ..sources.synth import synth_docs
@@ -146,8 +150,13 @@ def build_gol(
         record("validate", t0)
 
     # -- stage 6: store -----------------------------------------------------
+    # 6a: checkpoint the compiled rows ONCE, range-partitioned on tile_id
+    # so every batch filter below prunes row groups instead of rescanning
+    # the corpus (total batch scan cost stays O(N)).
+    store_input = os.path.join(out_dir, "store_input")
     store_path = os.path.join(out_dir, "store")
-    if not (resume and _done(store_path)):
+    lineage_path = os.path.join(out_dir, "lineage")
+    if not (resume and _done(store_input)):
         t0 = time.time()
         from ..operators.assign import node_points
 
@@ -157,8 +166,50 @@ def build_gol(
             asn["extents"],
             feats["nodes"], feats["ways"], feats["relations"],
         )
-        write_store(rows, store_path, settings.shuffle_partitions)
-        record("store", t0)
+        (
+            rows.repartitionByRange(
+                int(settings.shuffle_partitions), "tile_id", "hilbert"
+            ).write.mode("overwrite").parquet(store_input)
+        )
+        record("store_input", t0)
+
+    # 6b: per-tile-range checkpointed store write (north rule "resumable
+    # from per-tile checkpoints"): each contiguous tile-id batch is an
+    # independent transaction; a killed build redoes only uncommitted
+    # batches.  Per-batch lineage + per-tile row counts land in the
+    # ``lineage`` table (north rule "per-partition lineage").
+    if not (resume and _done(store_path) and _done(lineage_path)):
+        t0 = time.time()
+        batch_lineage = write_store_resumable(
+            spark.read.parquet(store_input), store_path, catalog.tiles,
+            settings.shuffle_partitions, n_batches=settings.store_batches,
+        )
+        store_df = spark.read.parquet(store_path)
+        per_tile = store_df.groupBy("tile_id").count()
+        tile_rows = per_tile.selectExpr(
+            "'store_tile' AS stage",
+            "CAST(NULL AS INT) AS batch",
+            "CAST(NULL AS LONG) AS tile_lo",
+            "CAST(NULL AS LONG) AS tile_hi",
+            "CAST(NULL AS DOUBLE) AS seconds",
+            "CAST(NULL AS BOOLEAN) AS resumed",
+            "CAST(tile_id AS INT) AS tile_id",
+            "CAST(count AS LONG) AS n_rows",
+        )
+        batch_rows = spark.createDataFrame(
+            [(b["stage"], b["batch"], b["tile_lo"], b["tile_hi"],
+              b["seconds"], b["resumed"], None, b["rows"])
+             for b in batch_lineage],
+            "stage string, batch int, tile_lo long, tile_hi long, "
+            "seconds double, resumed boolean, tile_id int, n_rows long",
+        )
+        tile_rows.unionByName(batch_rows).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(lineage_path)
+        record(
+            "store", t0, batches=len(batch_lineage),
+            batches_resumed=sum(1 for b in batch_lineage if b["resumed"]),
+        )
 
     # -- stage 7: integrity check (gol check analogue) ----------------------
     t0 = time.time()
@@ -175,9 +226,14 @@ def build_gol(
     record("check", t0, **checks)
 
     # -- metrics (incl. per-tile skew evidence) -----------------------------
+    # derived from the lineage table's per-tile rows — the store is not
+    # rescanned; lineage IS the per-partition evidence
     t0 = time.time()
-    store = spark.read.parquet(store_path)
-    per_tile = store.groupBy("tile_id").count()
+    per_tile = (
+        spark.read.parquet(lineage_path)
+        .filter(F.col("stage") == "store_tile")
+        .select("tile_id", F.col("n_rows").alias("count"))
+    )
     skew = per_tile.agg(
         F.count("*").alias("tiles"),
         F.max("count").alias("max_tile_rows"),

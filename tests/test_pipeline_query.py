@@ -62,11 +62,16 @@ def test_resume_after_midstage_crash(spark, built, tmp_path):
     res, store = built
     crash_dir = str(tmp_path / "crashed")
     shutil.copytree(res.out_dir, crash_dir)
-    # simulate the torn write
+    # simulate the torn write: finalize incomplete AND one tile-range
+    # batch uncommitted
     sp = os.path.join(crash_dir, "store")
     os.remove(os.path.join(sp, "_SUCCESS"))
-    parts = [f for f in os.listdir(sp) if f.startswith("part-")]
+    parts = [f for f in os.listdir(sp) if f.endswith(".parquet")]
     os.remove(os.path.join(sp, parts[0]))
+    batches = sorted(
+        d for d in os.listdir(os.path.join(sp, "_batches"))
+    )
+    os.remove(os.path.join(sp, "_batches", batches[-1], "_SUCCESS"))
 
     res2 = build_gol(spark, SF_DIR, crash_dir, BuildSettings.for_fixture(50))
     stages = {m["stage"] for m in res2.metrics}
@@ -90,6 +95,33 @@ def test_resume_after_midstage_crash(spark, built, tmp_path):
     checks = next(m for m in res2.metrics if m["stage"] == "check")
     assert all(v == 0 for k, v in checks.items()
                if k not in ("stage", "seconds"))
+
+
+def test_lineage_table(built, spark):
+    """North rule "per-partition lineage": the build writes a lineage
+    table whose per-tile rows reconcile exactly with the store and whose
+    per-batch rows cover tile-id space disjointly and sum to the store."""
+    res, store = built
+    lin = spark.read.parquet(os.path.join(res.out_dir, "lineage"))
+    per_tile = {
+        r["tile_id"]: r["n_rows"]
+        for r in lin.filter(F.col("stage") == "store_tile").collect()
+    }
+    actual = {
+        r["tile_id"]: r["n"]
+        for r in store.groupBy("tile_id")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_tile == actual
+    batches = (
+        lin.filter(F.col("stage") == "store_batch")
+        .orderBy("batch").collect()
+    )
+    assert batches[0]["tile_lo"] == 0
+    assert batches[-1]["tile_hi"] == (1 << 31) - 1
+    for a, b in zip(batches, batches[1:]):
+        assert b["tile_lo"] == a["tile_hi"] + 1
+    assert sum(r["n_rows"] for r in batches) == store.count()
 
 
 def test_store_is_tile_range_clustered(built, spark):
