@@ -1202,6 +1202,37 @@ def _q_s9_map_roundtrip(spark, sf):
     return spark.createDataFrame([(p,) for p in pops], "popup string")
 
 
+def _q_j11_contains_join(spark, sf):
+    """J11: feature↔feature containment join — every (cafe node,
+    area way) pair where the node lies inside the way's ring, computed
+    as ONE distributed relational plan (point tile-ladder ancestors ⋈
+    way home tiles → bbox prefilter → exact int64 even-odd ray-cast).
+    The reference answers this per-feature via the tile-index walk +
+    libgeodesk `within`; here the walk IS the shuffle key, so all pairs
+    resolve in 2 keyed joins + 1 aggregation — no cartesian at any
+    corpus size."""
+    from geodesk_gol_spark.functions.areas import way_is_area
+    from geodesk_gol_spark.query.spatial import contains_join
+
+    c = ctx(spark, sf)
+    aw = c["feats"]["ways"].filter(
+        way_is_area() & F.col("tags").getItem("leisure").isNotNull()
+    )
+    # deterministic 1/17 candidate sample: the join SHAPE is what the
+    # row gates; full-corpus pair dumps would dominate the driver's
+    # value-hash budget without testing anything more
+    cafes = c["points"].filter(F.col("id") % 17 == 0).join(
+        c["feats"]["nodes"]
+        .filter(F.col("tags").getItem("amenity") == "cafe")
+        .select("id"),
+        "id",
+    )
+    return contains_join(
+        cafes, aw, c["assignment"]["way_homes"],
+        c["assignment"]["extents"], vertices=c["points"],
+    )
+
+
 def _q_a8_lineage_tiles(spark, sf):
     """Per-partition lineage with teeth: return the per-tile row counts
     the build RECORDED in its lineage table (north rule "per-partition
@@ -1397,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pipeline build certifying the A8 metrics/lineage recording
     q["a8_build_metrics"] = _q_a8_build_metrics
     q["a8_lineage_tiles"] = _q_a8_lineage_tiles
+    q["j11_contains_join"] = _q_j11_contains_join
     return q
 
 
@@ -1911,6 +1943,53 @@ def oracle_sql() -> dict[str, str]:
         "SELECT tile_id, n_rows "
         f"FROM ({o['s5_archive_manifest']})"
     )
+    # J11: same exact-integer even-odd ray-cast, derived directly from
+    # the base tables (bbox candidates instead of the engine's
+    # tile-ladder join — a superset filter, identical final pairs)
+    o["j11_contains_join"] = f"""
+        WITH nodes AS ({sqlgen.nodes_select()}),
+        aw AS (SELECT id FROM ({sqlgen.ways_select()})
+               WHERE closed AND {sqlgen.way_area_sql()}
+                 AND leisure IS NOT NULL),
+        vx AS (
+          SELECT wm.way_id, wm.seq, n.x, n.y
+          FROM ({sqlgen.way_members_select()}) wm
+          JOIN aw ON aw.id = wm.way_id
+          JOIN nodes n ON n.id = wm.node_id
+        ),
+        edges AS (
+          SELECT * FROM (
+            SELECT way_id, x AS x0, y AS y0,
+                   lead(x) OVER (PARTITION BY way_id ORDER BY seq) AS x1,
+                   lead(y) OVER (PARTITION BY way_id ORDER BY seq) AS y1
+            FROM vx
+          ) WHERE x1 IS NOT NULL
+        ),
+        wbox AS (
+          SELECT way_id, min(x) AS minx, min(y) AS miny,
+                 max(x) AS maxx, max(y) AS maxy
+          FROM vx GROUP BY way_id
+        ),
+        cafes AS (SELECT id, x, y FROM nodes
+                  WHERE amenity = 'cafe' AND id % 17 = 0),
+        cand AS (
+          SELECT c.id AS node_id, b.way_id, c.x AS px, c.y AS py
+          FROM cafes c JOIN wbox b
+            ON c.x BETWEEN b.minx AND b.maxx
+           AND c.y BETWEEN b.miny AND b.maxy
+        ),
+        par AS (
+          SELECT cand.node_id, cand.way_id,
+                 sum(CASE WHEN ((e.y0 - py > 0) <> (e.y1 - py > 0))
+                      AND (((e.y0 - py) * (e.x1 - px)
+                            - (e.y1 - py) * (e.x0 - px) > 0)
+                           = (e.y0 - py > e.y1 - py))
+                     THEN 1 ELSE 0 END) AS cr
+          FROM cand JOIN edges e ON e.way_id = cand.way_id
+          GROUP BY cand.node_id, cand.way_id
+        )
+        SELECT node_id, way_id FROM par WHERE cr % 2 = 1
+    """
     # U3: same manifest counts restricted to tiles whose world-coordinate
     # square intersects _BB — the oracle recomputes the tile geometry
     # (span = 2^(31-zoom), corner = col·span) independently of

@@ -346,6 +346,138 @@ def polygon_crossing_ways(segments: DataFrame, poly_xy) -> DataFrame:
     )
 
 
+def way_edges_int(ways: DataFrame, vertices: DataFrame) -> DataFrame:
+    """(way_id, x0, y0, x1, y1): consecutive vertex edges in EXACT integer
+    world coordinates (closed rings repeat the first node last, so the
+    closing edge is already a consecutive pair — F8 semantics)."""
+    from pyspark.sql import Window
+
+    wm = ways.select(
+        F.col("id").alias("way_id"),
+        F.posexplode("node_ids").alias("seq", "node_id"),
+    )
+    j = wm.join(
+        vertices.select(F.col("id").alias("node_id"), "x", "y"), "node_id"
+    )
+    w = Window.partitionBy("way_id").orderBy("seq")
+    return (
+        j.select(
+            "way_id",
+            F.col("x").alias("x0"), F.col("y").alias("y0"),
+            F.lead("x").over(w).alias("x1"),
+            F.lead("y").over(w).alias("y1"),
+        )
+        .filter(F.col("x1").isNotNull())
+    )
+
+
+def edge_crossing_expr() -> Column:
+    """Exact-integer ray-cast crossing test for one (point, edge) row.
+
+    Columns expected: px, py (the point) and x0, y0, x1, y1 (the edge).
+    A ray from the point along +x crosses the edge iff the endpoints
+    straddle the ray's height (half-open, so a shared vertex is counted
+    once) and the intersection lies strictly right of the point: with
+    A=(x0-px, y0-py), B=(x1-px, y1-py) the intersection x-sign is
+    sign(A.y*B.x - B.y*A.x) * sign(A.y - B.y).  All terms are |coord
+    difference| < 2^31, products < 2^62 — exact int64 in BOTH Spark and
+    DuckDB, so the oracle comparison is bit-deterministic (no doubles,
+    no epsilon).
+    """
+    dy1 = F.col("y0") - F.col("py")
+    dy2 = F.col("y1") - F.col("py")
+    n = dy1 * (F.col("x1") - F.col("px")) - dy2 * (F.col("x0") - F.col("px"))
+    return (
+        ((dy1 > 0) != (dy2 > 0)) & ((n > 0) == (dy1 > dy2))
+    )
+
+
+def contains_join(
+    points: DataFrame,
+    area_ways: DataFrame,
+    way_homes: DataFrame,
+    extents: DataFrame,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """J11: distributed feature↔feature containment join — every
+    (node, area-way) pair where the node lies inside the way's ring
+    (even-odd rule), with NO driver-side geometry and NO cartesian.
+
+    The reference answers "features within feature X" by walking the
+    tile index from X's home tile (libgeodesk `within` filter; tile walk
+    per src/gol/query callers).  The Spark re-expression inverts it into
+    one relational plan over ALL pairs at once:
+
+      1. candidate generation — a point can only fall inside a way whose
+         HOME tile (J3: deepest tile/twin pair covering the way's whole
+         extent) is the point's tile or one of its ladder ancestors, so
+         each point emits its ≤5 ancestor tile ids (pure bit-shift
+         Column arithmetic, no join) and equi-joins way homes on
+         tile_id: the reference's tile-index walk becomes a shuffle key
+      2. bbox prefilter — candidates must sit inside the way's exact
+         world bbox (extents frame)
+      3. exact test — candidates join the way's integer vertex edges and
+         even-odd parity is a groupBy sum over :func:`edge_crossing_expr`
+
+    Cost: 2 shuffle joins + 1 aggregation, all keyed — scales with
+    candidates × ring size, never |points| × |ways|.  Relation
+    (multipolygon) members are out of scope here (single-ring ways only).
+
+    ``points``: candidate nodes (id, x, y, cell_col, cell_row) — may be
+    pre-filtered (e.g. cafes only); ``area_ways``: ways rows already
+    filtered to area semantics (F7/F8); ``way_homes``: (typed_id,
+    tile_id); ``extents``: (typed_id, minx..maxy); ``vertices``: the
+    FULL node coordinate set the ways' rings are built from (defaults
+    to ``points`` — pass it whenever ``points`` is filtered).
+    Returns (node_id, way_id).
+    """
+    arms = [
+        F.expr(
+            f"CAST({z} * 16777216 + (cell_row DIV {1 << (LEAF_ZOOM - z)}) "
+            f"* 4096 + (cell_col DIV {1 << (LEAF_ZOOM - z)}) AS INT)"
+        )
+        for z in (12, 9, 6, 3)
+    ] + [F.lit(0)]
+    pt = points.select(
+        F.col("id").alias("node_id"),
+        F.col("x").alias("px"), F.col("y").alias("py"),
+        F.explode(F.array(*arms)).alias("tile_id"),
+    )
+    aw = area_ways.select(
+        (F.col("id") * 4 + 1).alias("typed_id"), F.col("id").alias("way_id")
+    )
+    wh = (
+        way_homes.select("typed_id", "tile_id")
+        .join(aw, "typed_id")
+        .join(extents.select("typed_id", "minx", "miny", "maxx", "maxy"),
+              "typed_id")
+        .select("way_id", "tile_id", "minx", "miny", "maxx", "maxy")
+    )
+    cand = (
+        pt.join(wh, "tile_id")
+        .filter(
+            F.col("px").between(F.col("minx"), F.col("maxx"))
+            & F.col("py").between(F.col("miny"), F.col("maxy"))
+        )
+        # a way homed at BOTH a tile and an ancestor (TilePair ancestor
+        # form) matches a point through two ladder arms — the duplicate
+        # would double every crossing and flip the parity, so the
+        # candidate set must be a set
+        .dropDuplicates(["node_id", "way_id"])
+        .select("node_id", "way_id", "px", "py")
+    )
+    edges = way_edges_int(area_ways, vertices if vertices is not None
+                          else points)
+    return (
+        cand.join(edges, "way_id")
+        .withColumn("c", edge_crossing_expr().cast("long"))
+        .groupBy("node_id", "way_id")
+        .agg((F.sum("c") % 2 == 1).alias("inside"))
+        .filter("inside")
+        .select("node_id", "way_id")
+    )
+
+
 def around_filter(
     store: DataFrame, catalog: TileCatalog,
     cx: int, cy: int, radius: int,
