@@ -1233,6 +1233,28 @@ def _q_j11_contains_join(spark, sf):
     )
 
 
+def _q_j12_relation_contains(spark, sf):
+    """J12: containment join against area RELATIONS (multipolygon
+    semantics — outer+inner member rings, even-odd parity, holes fall
+    out of the arithmetic).  Area verdict per the reference: relation
+    rule table + an outer member required (Compiler.cpp:766-772).
+    Points sampled 1/97 (the join shape is what's gated)."""
+    from geodesk_gol_spark.functions.areas import relation_is_area
+    from geodesk_gol_spark.query.spatial import relation_contains_join
+
+    c = ctx(spark, sf)
+    rels = c["feats"]["relations"].filter(
+        relation_is_area()
+        & F.expr("exists(members, m -> m.role = 'outer')")
+    )
+    pts = c["points"].filter(F.col("id") % 97 == 0)
+    return relation_contains_join(
+        pts, rels, c["feats"]["ways"],
+        c["assignment"]["rel_homes"], c["assignment"]["extents"],
+        vertices=c["points"],
+    )
+
+
 def _q_a8_lineage_tiles(spark, sf):
     """Per-partition lineage with teeth: return the per-tile row counts
     the build RECORDED in its lineage table (north rule "per-partition
@@ -1429,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["a8_build_metrics"] = _q_a8_build_metrics
     q["a8_lineage_tiles"] = _q_a8_lineage_tiles
     q["j11_contains_join"] = _q_j11_contains_join
+    q["j12_relation_contains"] = _q_j12_relation_contains
     return q
 
 
@@ -1989,6 +2012,67 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY cand.node_id, cand.way_id
         )
         SELECT node_id, way_id FROM par WHERE cr % 2 = 1
+    """
+    # J12: relation (multipolygon) containment — same exact-integer
+    # parity over the union of the relation's closed member rings
+    o["j12_relation_contains"] = f"""
+        WITH nodes AS ({sqlgen.nodes_select()}),
+        rels AS (SELECT id FROM ({sqlgen.relations_select()})
+                 WHERE boundary IS NOT NULL),
+        mem AS (
+          SELECT DISTINCT rm.rel_id, rm.member_id AS way_id
+          FROM ({sqlgen.relation_members_select()}) rm
+          JOIN rels ON rels.id = rm.rel_id
+          WHERE rm.member_type = 1
+        ),
+        cw AS (SELECT id FROM ({sqlgen.ways_select()}) WHERE closed),
+        vx AS (
+          SELECT wm.way_id, wm.seq, n.x, n.y
+          FROM ({sqlgen.way_members_select()}) wm
+          JOIN (SELECT DISTINCT way_id FROM mem) mw ON mw.way_id = wm.way_id
+          JOIN cw ON cw.id = wm.way_id
+          JOIN nodes n ON n.id = wm.node_id
+        ),
+        edges AS (
+          SELECT * FROM (
+            SELECT way_id, x AS x0, y AS y0,
+                   lead(x) OVER (PARTITION BY way_id ORDER BY seq) AS x1,
+                   lead(y) OVER (PARTITION BY way_id ORDER BY seq) AS y1
+            FROM vx
+          ) WHERE x1 IS NOT NULL
+        ),
+        redges AS (
+          SELECT mem.rel_id, e.x0, e.y0, e.x1, e.y1
+          FROM edges e JOIN mem ON mem.way_id = e.way_id
+        ),
+        rbox AS (
+          SELECT rm.rel_id, min(n.x) AS minx, min(n.y) AS miny,
+                 max(n.x) AS maxx, max(n.y) AS maxy
+          FROM ({sqlgen.relation_members_select()}) rm
+          JOIN rels ON rels.id = rm.rel_id
+          JOIN ({sqlgen.way_members_select()}) wm
+            ON wm.way_id = rm.member_id
+          JOIN nodes n ON n.id = wm.node_id
+          GROUP BY rm.rel_id
+        ),
+        pts AS (SELECT id, x, y FROM nodes WHERE id % 97 = 0),
+        cand AS (
+          SELECT p.id AS node_id, b.rel_id, p.x AS px, p.y AS py
+          FROM pts p JOIN rbox b
+            ON p.x BETWEEN b.minx AND b.maxx
+           AND p.y BETWEEN b.miny AND b.maxy
+        ),
+        par AS (
+          SELECT cand.node_id, cand.rel_id,
+                 sum(CASE WHEN ((e.y0 - py > 0) <> (e.y1 - py > 0))
+                      AND (((e.y0 - py) * (e.x1 - px)
+                            - (e.y1 - py) * (e.x0 - px) > 0)
+                           = (e.y0 - py > e.y1 - py))
+                     THEN 1 ELSE 0 END) AS cr
+          FROM cand JOIN redges e ON e.rel_id = cand.rel_id
+          GROUP BY cand.node_id, cand.rel_id
+        )
+        SELECT node_id, rel_id FROM par WHERE cr % 2 = 1
     """
     # U3: same manifest counts restricted to tiles whose world-coordinate
     # square intersects _BB — the oracle recomputes the tile geometry

@@ -392,6 +392,25 @@ def edge_crossing_expr() -> Column:
     )
 
 
+def _ladder_points(points: DataFrame) -> DataFrame:
+    """Each point exploded to (node_id, px, py, tile_id) for its tile and
+    every ladder ancestor — pure bit-shift Column arithmetic, no join.
+    This is the reference's tile-index walk turned into a shuffle key: a
+    feature's home tile is always one of the point's ≤5 ancestors."""
+    arms = [
+        F.expr(
+            f"CAST({z} * 16777216 + (cell_row DIV {1 << (LEAF_ZOOM - z)}) "
+            f"* 4096 + (cell_col DIV {1 << (LEAF_ZOOM - z)}) AS INT)"
+        )
+        for z in (12, 9, 6, 3)
+    ] + [F.lit(0)]
+    return points.select(
+        F.col("id").alias("node_id"),
+        F.col("x").alias("px"), F.col("y").alias("py"),
+        F.explode(F.array(*arms)).alias("tile_id"),
+    )
+
+
 def contains_join(
     points: DataFrame,
     area_ways: DataFrame,
@@ -431,18 +450,7 @@ def contains_join(
     to ``points`` — pass it whenever ``points`` is filtered).
     Returns (node_id, way_id).
     """
-    arms = [
-        F.expr(
-            f"CAST({z} * 16777216 + (cell_row DIV {1 << (LEAF_ZOOM - z)}) "
-            f"* 4096 + (cell_col DIV {1 << (LEAF_ZOOM - z)}) AS INT)"
-        )
-        for z in (12, 9, 6, 3)
-    ] + [F.lit(0)]
-    pt = points.select(
-        F.col("id").alias("node_id"),
-        F.col("x").alias("px"), F.col("y").alias("py"),
-        F.explode(F.array(*arms)).alias("tile_id"),
-    )
+    pt = _ladder_points(points)
     aw = area_ways.select(
         (F.col("id") * 4 + 1).alias("typed_id"), F.col("id").alias("way_id")
     )
@@ -475,6 +483,85 @@ def contains_join(
         .agg((F.sum("c") % 2 == 1).alias("inside"))
         .filter("inside")
         .select("node_id", "way_id")
+    )
+
+
+def relation_contains_join(
+    points: DataFrame,
+    area_rels: DataFrame,
+    ways: DataFrame,
+    rel_homes: DataFrame,
+    extents: DataFrame,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """J12: containment join against area RELATIONS (multipolygon
+    semantics) — every (node, relation) pair where the node lies inside
+    the union of the relation's member rings under the even-odd rule.
+
+    Outer and inner roles need no special casing: a point inside a hole
+    crosses the outer ring's edges once and the inner ring's once —
+    even total, outside.  That is exactly the reference's multipolygon
+    verdict (area relations are type=multipolygon/boundary with an
+    outer member, Compiler.cpp:766-772).  Open (unclosed) member ways
+    are skipped; the reference stitches open segments into rings at
+    build time, which this engine does not model — callers needing
+    stitched rings must pre-close them.
+
+    Same plan shape as :func:`contains_join` (ladder ancestors ⋈ rel
+    home tiles → bbox prefilter → exact int64 parity), with one extra
+    keyed hop from relation to member ways.  ``area_rels``: relation
+    rows (id, members) already filtered to area semantics; ``ways``:
+    (id, node_ids).  Returns (node_id, rel_id).
+    """
+    mem = (
+        area_rels.select(
+            F.col("id").alias("rel_id"), F.explode("members").alias("m")
+        )
+        .filter(F.col("m.t") == 1)
+        .select("rel_id", F.col("m.id").alias("way_id"))
+        .dropDuplicates(["rel_id", "way_id"])
+    )
+    from ..functions.areas import closed_ring
+
+    wuniq = (
+        mem.select("way_id").dropDuplicates(["way_id"])
+        .join(ways.select(F.col("id").alias("way_id"), "node_ids"),
+              "way_id")
+        .filter(closed_ring("node_ids"))
+    )
+    edges = way_edges_int(
+        wuniq.select(F.col("way_id").alias("id"), "node_ids"),
+        vertices if vertices is not None else points,
+    ).join(mem, "way_id")
+
+    pt = _ladder_points(points)
+    rh = (
+        rel_homes.select("typed_id", "tile_id")
+        .join(
+            area_rels.select((F.col("id") * 4 + 2).alias("typed_id"),
+                             F.col("id").alias("rel_id")),
+            "typed_id",
+        )
+        .join(extents.select("typed_id", "minx", "miny", "maxx", "maxy"),
+              "typed_id")
+        .select("rel_id", "tile_id", "minx", "miny", "maxx", "maxy")
+    )
+    cand = (
+        pt.join(rh, "tile_id")
+        .filter(
+            F.col("px").between(F.col("minx"), F.col("maxx"))
+            & F.col("py").between(F.col("miny"), F.col("maxy"))
+        )
+        .dropDuplicates(["node_id", "rel_id"])
+        .select("node_id", "rel_id", "px", "py")
+    )
+    return (
+        cand.join(edges, "rel_id")
+        .withColumn("c", edge_crossing_expr().cast("long"))
+        .groupBy("node_id", "rel_id")
+        .agg((F.sum("c") % 2 == 1).alias("inside"))
+        .filter("inside")
+        .select("node_id", "rel_id")
     )
 
 

@@ -76,6 +76,54 @@ def test_way_edges_closing_edge_included(spark):
     assert es == {(*a, *b) for a, b in zip(RING, RING[1:])}
 
 
+def test_relation_hole_even_odd(spark):
+    """J12: a point inside a multipolygon's inner ring (the hole)
+    crosses both rings — even parity, outside; between the rings — odd,
+    inside.  No role-based special casing needed."""
+    from geodesk_gol_spark.query.spatial import relation_contains_join
+
+    outer = [(0, 0), (100, 0), (100, 100), (0, 100), (0, 0)]
+    hole = [(30, 30), (70, 30), (70, 70), (30, 70), (30, 30)]
+
+    def ring_rows(base, ring):
+        return [(base + i, O + x, O + y)
+                for i, (x, y) in enumerate(ring[:-1])]
+
+    verts = ring_rows(1, outer) + ring_rows(11, hole)
+    test_pts = [
+        (101, O + 10, O + 50),  # between rings -> inside
+        (102, O + 50, O + 50),  # in the hole -> outside
+    ]
+    pts = spark.createDataFrame(
+        pd.DataFrame(verts + test_pts, columns=["id", "x", "y"])
+    ).withColumn("cell_col", (F.col("x") / (1 << CELL_SHIFT)).cast("int")) \
+     .withColumn("cell_row", (F.col("y") / (1 << CELL_SHIFT)).cast("int"))
+    ways = spark.createDataFrame(
+        [(21, [1, 2, 3, 4, 1]), (22, [11, 12, 13, 14, 11])],
+        "id long, node_ids array<long>",
+    )
+    rels = spark.createDataFrame(
+        [(5, [(1, 21, "outer"), (1, 22, "inner")])],
+        "id long, members array<struct<t:tinyint,id:bigint,role:string>>",
+    )
+    cell = (O + 50) >> CELL_SHIFT
+    z3_tile = (3 << 24) | ((cell >> 9) << 12) | (cell >> 9)
+    homes = spark.createDataFrame(
+        [(5 * 4 + 2, z3_tile)], "typed_id long, tile_id int"
+    )
+    extents = spark.createDataFrame(
+        [(5 * 4 + 2, O, O, O + 100, O + 100)],
+        "typed_id long, minx long, miny long, maxx long, maxy long",
+    )
+    got = sorted(
+        (r["node_id"], r["rel_id"])
+        for r in relation_contains_join(pts, rels, ways, homes,
+                                        extents).collect()
+        if r["node_id"] > 100
+    )
+    assert got == [(101, 5)]
+
+
 def test_vertex_point_is_deterministic(spark):
     """A query point that IS a ring vertex must produce the same verdict
     on every run (exact integer arithmetic -> no tie-break wobble)."""
