@@ -1255,6 +1255,27 @@ def _q_j12_relation_contains(spark, sf):
     )
 
 
+_DWITHIN_R = 1 << 17  # ~0.022 deg of world span; < leaf-tile span as required
+
+
+def _q_j13_dwithin_join(spark, sf):
+    """J13: proximity join — sampled nodes within r of any highway way
+    (feature↔feature `around`).  Candidates from radius-r disk-corner
+    ladder tiles ⋈ way homes; exact integer point-to-segment distance
+    (cross-multiplied, DECIMAL/HUGEINT-exact in both engines)."""
+    from geodesk_gol_spark.query.spatial import dwithin_join
+
+    c = ctx(spark, sf)
+    hw = c["feats"]["ways"].filter(
+        F.col("tags").getItem("highway").isNotNull()
+    )
+    pts = c["points"].filter(F.col("id") % 389 == 0)
+    return dwithin_join(
+        pts, hw, c["assignment"]["way_homes"],
+        c["assignment"]["extents"], _DWITHIN_R, vertices=c["points"],
+    )
+
+
 def _q_a8_lineage_tiles(spark, sf):
     """Per-partition lineage with teeth: return the per-tile row counts
     the build RECORDED in its lineage table (north rule "per-partition
@@ -1452,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["a8_lineage_tiles"] = _q_a8_lineage_tiles
     q["j11_contains_join"] = _q_j11_contains_join
     q["j12_relation_contains"] = _q_j12_relation_contains
+    q["j13_dwithin_join"] = _q_j13_dwithin_join
     return q
 
 
@@ -2073,6 +2095,49 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY cand.node_id, cand.rel_id
         )
         SELECT node_id, rel_id FROM par WHERE cr % 2 = 1
+    """
+    # J13: exact integer point-to-segment dwithin (HUGEINT twin of the
+    # engine's DECIMAL(38,0) arithmetic — same verdicts bit-for-bit)
+    from geodesk_gol_spark.query.spatial import dwithin_segment_sql
+
+    o["j13_dwithin_join"] = f"""
+        WITH nodes AS ({sqlgen.nodes_select()}),
+        hw AS (SELECT id FROM ({sqlgen.ways_select()})
+               WHERE highway IS NOT NULL),
+        vx AS (
+          SELECT wm.way_id, wm.seq, n.x, n.y
+          FROM ({sqlgen.way_members_select()}) wm
+          JOIN hw ON hw.id = wm.way_id
+          JOIN nodes n ON n.id = wm.node_id
+        ),
+        edges AS (
+          SELECT * FROM (
+            SELECT way_id, x AS x0, y AS y0,
+                   lead(x) OVER (PARTITION BY way_id ORDER BY seq) AS x1,
+                   lead(y) OVER (PARTITION BY way_id ORDER BY seq) AS y1
+            FROM vx
+          ) WHERE x1 IS NOT NULL
+        ),
+        wbox AS (
+          SELECT way_id, min(x) AS minx, min(y) AS miny,
+                 max(x) AS maxx, max(y) AS maxy
+          FROM vx GROUP BY way_id
+        ),
+        pts AS (SELECT id, x, y FROM nodes WHERE id % 389 = 0),
+        cand AS (
+          SELECT p.id AS node_id, b.way_id, p.x AS px, p.y AS py
+          FROM pts p JOIN wbox b
+            ON p.x BETWEEN b.minx - {_DWITHIN_R} AND b.maxx + {_DWITHIN_R}
+           AND p.y BETWEEN b.miny - {_DWITHIN_R} AND b.maxy + {_DWITHIN_R}
+        ),
+        hits AS (
+          SELECT cand.node_id, cand.way_id,
+                 max(CASE WHEN {dwithin_segment_sql(_DWITHIN_R)}
+                     THEN 1 ELSE 0 END) AS near
+          FROM cand JOIN edges e ON e.way_id = cand.way_id
+          GROUP BY cand.node_id, cand.way_id
+        )
+        SELECT node_id, way_id FROM hits WHERE near = 1
     """
     # U3: same manifest counts restricted to tiles whose world-coordinate
     # square intersects _BB — the oracle recomputes the tile geometry

@@ -200,6 +200,30 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicate: int = 1,
     counts["knn"] = knn_cell_rings(pts, qs, k=5, ring=2).count()
     t["q_knn"] = time.time() - t0
 
+    # J11 feature↔feature containment at scale: sampled cafes within
+    # leisure-area ways, candidates via ladder-ancestor ⋈ home-tile
+    # (way homes reread from the feature_tiles checkpoint — no rebuild)
+    t0 = time.time()
+    from geodesk_gol_spark.functions.areas import way_is_area
+    from geodesk_gol_spark.query.spatial import contains_join
+
+    aw = feats["ways"].filter(
+        way_is_area() & F.col("tags").getItem("leisure").isNotNull()
+    )
+    whome = ft.filter(
+        (F.col("typed_id") % 4 == 1) & ~F.col("is_ghost")
+    ).select("typed_id", "tile_id")
+    cafes = points.filter(F.col("id") % 173 == 0).join(
+        feats["nodes"]
+        .filter(F.col("tags").getItem("amenity") == "cafe").select("id"),
+        "id",
+    )
+    counts["contains"] = contains_join(
+        cafes, aw, whome, extents, vertices=points
+    ).count()
+    t["q_contains"] = time.time() - t0
+    log(f"contains {t['q_contains']:.1f}s rows={counts['contains']}")
+
     t["_counts"] = counts  # type: ignore[assignment]
     t["_ckpt_bytes"] = sizes  # type: ignore[assignment]
     return t

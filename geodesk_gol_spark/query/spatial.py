@@ -565,6 +565,128 @@ def relation_contains_join(
     )
 
 
+def _disk_ladder_points(points: DataFrame, r: int) -> DataFrame:
+    """Like :func:`_ladder_points`, but the point's radius-r disk: at
+    each ladder zoom, emit the DISTINCT tiles containing the disk
+    bbox's four corners (≤4 per zoom when r is below the leaf-tile
+    span).  This closes the dwithin coverage hole — a point within r of
+    a way's extent can sit one tile OUTSIDE the home tile's ladder
+    ancestry, but never further than the corner tiles reach."""
+    if not 0 < r < (1 << (WORLD_BITS - LEAF_ZOOM)):
+        raise ValueError(
+            f"radius must be in (0, {1 << (WORLD_BITS - LEAF_ZOOM)}) "
+            f"world units (one leaf-tile span) for 4-corner coverage")
+    lim = (1 << WORLD_BITS) - 1
+    arms = []
+    for z in (12, 9, 6, 3):
+        shift = 1 << (WORLD_BITS - z)
+        for sx in (-r, r):
+            for sy in (-r, r):
+                cx = f"least(greatest(x + {sx}, 0), {lim})"
+                cy = f"least(greatest(y + {sy}, 0), {lim})"
+                arms.append(F.expr(
+                    f"CAST({z} * 16777216 + (({cy}) DIV {shift}) * 4096 "
+                    f"+ (({cx}) DIV {shift}) AS INT)"
+                ))
+    arms.append(F.lit(0))
+    return points.select(
+        F.col("id").alias("node_id"),
+        F.col("x").alias("px"), F.col("y").alias("py"),
+        F.explode(F.array_distinct(F.array(*arms))).alias("tile_id"),
+    )
+
+
+def dwithin_segment_expr(r: int) -> Column:
+    """Exact point-to-segment "distance ≤ r" for one (point, edge) row
+    (columns px, py, x0, y0, x1, y1) with NO floating point: the three
+    squared-distance cases (before A, past B, interior projection) are
+    cross-multiplied into integer comparisons.  Terms reach ~2^126, so
+    both engines compute in exact wide integers (Spark DECIMAL(38,0),
+    DuckDB HUGEINT) — same verdict bit-for-bit."""
+    d = "CAST({} AS DECIMAL(38,0))"
+    ax, ay = d.format("x0 - px"), d.format("y0 - py")
+    bx, by = d.format("x1 - px"), d.format("y1 - py")
+    vx, vy = d.format("x1 - x0"), d.format("y1 - y0")
+    r2 = d.format(r * r)
+    aa = f"({ax}*{ax} + {ay}*{ay})"
+    bb = f"({bx}*{bx} + {by}*{by})"
+    ll = f"({vx}*{vx} + {vy}*{vy})"
+    t = f"(-({ax}*{vx} + {ay}*{vy}))"
+    return F.expr(
+        f"CASE WHEN {t} <= 0 THEN {aa} <= {r2} "
+        f"WHEN {t} >= {ll} THEN {bb} <= {r2} "
+        f"ELSE {aa} * {ll} - {t} * {t} <= {r2} * {ll} END"
+    )
+
+
+def dwithin_segment_sql(r: int) -> str:
+    """The DuckDB twin of :func:`dwithin_segment_expr` (HUGEINT)."""
+    d = "CAST({} AS HUGEINT)"
+    ax, ay = d.format("x0 - px"), d.format("y0 - py")
+    bx, by = d.format("x1 - px"), d.format("y1 - py")
+    vx, vy = d.format("x1 - x0"), d.format("y1 - y0")
+    r2 = d.format(r * r)
+    aa = f"({ax}*{ax} + {ay}*{ay})"
+    bb = f"({bx}*{bx} + {by}*{by})"
+    ll = f"({vx}*{vx} + {vy}*{vy})"
+    t = f"(-({ax}*{vx} + {ay}*{vy}))"
+    return (
+        f"CASE WHEN {t} <= 0 THEN {aa} <= {r2} "
+        f"WHEN {t} >= {ll} THEN {bb} <= {r2} "
+        f"ELSE {aa} * {ll} - {t} * {t} <= {r2} * {ll} END"
+    )
+
+
+def dwithin_join(
+    points: DataFrame,
+    ways: DataFrame,
+    way_homes: DataFrame,
+    extents: DataFrame,
+    r: int,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """J13: proximity join — every (node, way) pair whose point-to-way
+    distance is ≤ r world units (the feature↔feature form of the
+    reference's `around` filter; p_around_point covers point↔point).
+
+    Plan shape follows :func:`contains_join` with two radius-aware
+    twists: candidates come from the point's radius-r DISK corner tiles
+    per ladder zoom (closing the "one tile outside the home ancestry"
+    hole), and the bbox prefilter expands the way's extent by r.  The
+    exact test is :func:`dwithin_segment_expr` — integer-only, shared
+    verbatim (modulo DECIMAL/HUGEINT spelling) with the DuckDB oracle.
+    Open and closed ways alike; returns (node_id, way_id).
+    """
+    pt = _disk_ladder_points(points, r)
+    wh = (
+        way_homes.select("typed_id", "tile_id")
+        .join(ways.select((F.col("id") * 4 + 1).alias("typed_id"),
+                          F.col("id").alias("way_id")), "typed_id")
+        .join(extents.select("typed_id", "minx", "miny", "maxx", "maxy"),
+              "typed_id")
+        .select("way_id", "tile_id", "minx", "miny", "maxx", "maxy")
+    )
+    cand = (
+        pt.join(wh, "tile_id")
+        .filter(
+            F.col("px").between(F.col("minx") - r, F.col("maxx") + r)
+            & F.col("py").between(F.col("miny") - r, F.col("maxy") + r)
+        )
+        .dropDuplicates(["node_id", "way_id"])
+        .select("node_id", "way_id", "px", "py")
+    )
+    edges = way_edges_int(ways, vertices if vertices is not None
+                          else points)
+    return (
+        cand.join(edges, "way_id")
+        .withColumn("hit", dwithin_segment_expr(r))
+        .groupBy("node_id", "way_id")
+        .agg(F.max("hit").alias("near"))
+        .filter("near")
+        .select("node_id", "way_id")
+    )
+
+
 def around_filter(
     store: DataFrame, catalog: TileCatalog,
     cx: int, cy: int, radius: int,

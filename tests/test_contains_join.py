@@ -124,6 +124,76 @@ def test_relation_hole_even_odd(spark):
     assert got == [(101, 5)]
 
 
+def test_dwithin_three_distance_cases(spark):
+    """J13 exact point-to-segment distance: before-A (endpoint), past-B
+    (endpoint), interior projection, and a just-outside control —
+    boundary-exact (d == r counts as within)."""
+    from geodesk_gol_spark.query.spatial import dwithin_join
+
+    r = 100
+    # one horizontal segment from (0,0) to (1000,0)
+    verts = [(1, O + 0, O + 0), (2, O + 1000, O + 0)]
+    test_pts = [
+        (101, O - 60, O + 80),     # before A: dist = 100 exactly -> in
+        (102, O + 1060, O + 80),   # past B: dist = 100 exactly -> in
+        (103, O + 500, O + 100),   # interior: dist = 100 exactly -> in
+        (104, O + 500, O + 101),   # interior: dist = 101 -> out
+        (105, O - 61, O + 80),     # before A: dist > 100 -> out
+    ]
+    pts = spark.createDataFrame(
+        pd.DataFrame(verts + test_pts, columns=["id", "x", "y"])
+    )
+    ways = spark.createDataFrame([(7, [1, 2])],
+                                 "id long, node_ids array<long>")
+    cell = O >> CELL_SHIFT
+    z3_tile = (3 << 24) | ((cell >> 9) << 12) | (cell >> 9)
+    homes = spark.createDataFrame([(7 * 4 + 1, z3_tile)],
+                                  "typed_id long, tile_id int")
+    extents = spark.createDataFrame(
+        [(7 * 4 + 1, O, O, O + 1000, O)],
+        "typed_id long, minx long, miny long, maxx long, maxy long",
+    )
+    got = sorted(
+        r_["node_id"]
+        for r_ in dwithin_join(pts, ways, homes, extents, r).collect()
+        if r_["node_id"] > 100
+    )
+    assert got == [101, 102, 103]
+
+
+def test_dwithin_cross_tile_coverage(spark):
+    """A point whose OWN tile ancestry misses the way's home tile (it
+    sits in the neighboring leaf tile) must still pair up when within r
+    — the disk-corner ladder closes the coverage hole a plain ladder
+    join would have."""
+    from geodesk_gol_spark.query.spatial import dwithin_join
+
+    leaf = 1 << CELL_SHIFT  # leaf-tile span in world units
+    # segment hugging the right edge of leaf tile K
+    bx = ((O >> CELL_SHIFT) + 1 << CELL_SHIFT)  # boundary x of next tile
+    verts = [(1, bx - 10, O), (2, bx - 10, O + 1000)]
+    # point just across the boundary, 20 units from the segment
+    test_pts = [(101, bx + 10, O + 500)]
+    pts = spark.createDataFrame(
+        pd.DataFrame(verts + test_pts, columns=["id", "x", "y"])
+    )
+    ways = spark.createDataFrame([(7, [1, 2])],
+                                 "id long, node_ids array<long>")
+    cc, cr = (bx - 10) >> CELL_SHIFT, O >> CELL_SHIFT
+    z12_home = (12 << 24) | (cr << 12) | cc  # way homed at ITS leaf tile
+    homes = spark.createDataFrame([(7 * 4 + 1, z12_home)],
+                                  "typed_id long, tile_id int")
+    extents = spark.createDataFrame(
+        [(7 * 4 + 1, bx - 10, O, bx - 10, O + 1000)],
+        "typed_id long, minx long, miny long, maxx long, maxy long",
+    )
+    assert leaf > 100  # fixture sanity
+    got = [r_["node_id"]
+           for r_ in dwithin_join(pts, ways, homes, extents, 100).collect()
+           if r_["node_id"] > 100]
+    assert got == [101]
+
+
 def test_vertex_point_is_deterministic(spark):
     """A query point that IS a ring vertex must produce the same verdict
     on every run (exact integer arithmetic -> no tie-break wobble)."""
