@@ -1255,6 +1255,17 @@ def _q_j12_relation_contains(spark, sf):
     )
 
 
+def _q_f12_way_measures(spark, sf):
+    """F12: ring area (exact integer shoelace, DECIMAL/HUGEINT sum) and
+    way length (per-edge floored IEEE sqrt, order-independent integer
+    sum) — the GeoDesk library's .area/.length surface as relational
+    aggregates over the integer edge frame."""
+    from geodesk_gol_spark.functions.measure import way_measures
+
+    c = ctx(spark, sf)
+    return way_measures(c["feats"]["ways"], c["points"])
+
+
 _DWITHIN_R = 1 << 17  # ~0.022 deg of world span; < leaf-tile span as required
 
 
@@ -1474,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["j11_contains_join"] = _q_j11_contains_join
     q["j12_relation_contains"] = _q_j12_relation_contains
     q["j13_dwithin_join"] = _q_j13_dwithin_join
+    q["f12_way_measures"] = _q_f12_way_measures
     return q
 
 
@@ -2139,6 +2151,14 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node_id, way_id FROM hits WHERE near = 1
     """
+    # F12: shoelace area + floored-edge length (exact in both engines)
+    from geodesk_gol_spark.functions.measure import measures_oracle_sql
+
+    o["f12_way_measures"] = (
+        f"WITH nodes AS ({sqlgen.nodes_select()}),"
+        + measures_oracle_sql(sqlgen.ways_select(),
+                              sqlgen.way_members_select())
+    )
     # U3: same manifest counts restricted to tiles whose world-coordinate
     # square intersects _BB — the oracle recomputes the tile geometry
     # (span = 2^(31-zoom), corner = col·span) independently of

@@ -194,6 +194,29 @@ def test_dwithin_cross_tile_coverage(spark):
     assert got == [101]
 
 
+def test_way_measures_known_values(spark):
+    """F12 on hand-checkable geometry: a 100×100 square ring (2A=20000,
+    perimeter 400) and an open 3-4-5 way (len 5+5=10 via exact
+    hypotenuses, NULL area)."""
+    from geodesk_gol_spark.functions.measure import way_measures
+
+    verts = [(1, O, O), (2, O + 100, O), (3, O + 100, O + 100),
+             (4, O, O + 100),
+             (11, O, O), (12, O + 3, O + 4), (13, O + 6, O)]
+    pts = spark.createDataFrame(
+        pd.DataFrame(verts, columns=["id", "x", "y"])
+    )
+    ways = spark.createDataFrame(
+        [(21, [1, 2, 3, 4, 1]), (22, [11, 12, 13])],
+        "id long, node_ids array<long>",
+    )
+    rows = {r["way_id"]: r for r in way_measures(ways, pts).collect()}
+    assert rows[21]["closed"] and rows[21]["area2"] == 20_000
+    assert rows[21]["len_floor"] == 400
+    assert not rows[22]["closed"] and rows[22]["area2"] is None
+    assert rows[22]["len_floor"] == 10
+
+
 def test_vertex_point_is_deterministic(spark):
     """A query point that IS a ring vertex must produce the same verdict
     on every run (exact integer arithmetic -> no tie-break wobble)."""

@@ -40,10 +40,28 @@ def main() -> None:
                 shutil.rmtree(p)
                 print(f"pruned stale {p.name}")
     spark = get_spark("local[8]", app_name="gate-warm")
+    import __spark_entry__ as entrymod
+
     for sf in sfs:
         t0 = time.time()
         gate.ctx(spark, sf)
-        print(f"warm {sf}: {time.time() - t0:.1f}s → {gate._cache_dir(sf)}")
+        print(f"warm ctx {sf}: {time.time() - t0:.1f}s → {gate._cache_dir(sf)}")
+        # run EVERY gate query once: triggers the derived disk memos the
+        # ctx warm alone does not (a8build pipeline run + lineage,
+        # archive save/load, .osc docs) so the driver's sweep pays no
+        # cold build anywhere
+        for name, fn in entrymod.queries().items():
+            t1 = time.time()
+            try:
+                fn(spark, sf).count()
+            except Exception as e:  # keep warming; the sweep will report
+                print(f"  {name}: WARM ERROR {type(e).__name__}: "
+                      f"{str(e)[:120]}")
+                continue
+            dt = time.time() - t1
+            if dt > 2:
+                print(f"  {name}: {dt:.1f}s")
+        print(f"warm {sf} total: {time.time() - t0:.1f}s")
     spark.stop()
 
 
