@@ -1255,6 +1255,29 @@ def _q_j12_relation_contains(spark, sf):
     )
 
 
+def _q_j14_way_within(spark, sf):
+    """J14: way-within-area join — sampled highway ways fully inside
+    leisure-area rings (no proper edge crossing + ≥1 vertex strictly
+    inside; the polygon_within_ways semantics lifted feature↔feature).
+    Candidates via the home-tile ladder in BOTH directions (either
+    feature may be the deeper-homed one), bbox-containment prefilter."""
+    from geodesk_gol_spark.functions.areas import way_is_area
+    from geodesk_gol_spark.query.spatial import way_within_join
+
+    c = ctx(spark, sf)
+    aw = c["feats"]["ways"].filter(
+        way_is_area() & F.col("tags").getItem("leisure").isNotNull()
+    )
+    iw = c["feats"]["ways"].filter(
+        F.col("tags").getItem("highway").isNotNull()
+        & (F.col("id") % 7 == 0)
+    )
+    return way_within_join(
+        iw, aw, c["assignment"]["way_homes"],
+        c["assignment"]["extents"], c["points"],
+    )
+
+
 def _q_f12_way_measures(spark, sf):
     """F12: ring area (exact integer shoelace, DECIMAL/HUGEINT sum) and
     way length (per-edge floored IEEE sqrt, order-independent integer
@@ -1486,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["j12_relation_contains"] = _q_j12_relation_contains
     q["j13_dwithin_join"] = _q_j13_dwithin_join
     q["f12_way_measures"] = _q_f12_way_measures
+    q["j14_way_within"] = _q_j14_way_within
     return q
 
 
@@ -2150,6 +2174,94 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY cand.node_id, cand.way_id
         )
         SELECT node_id, way_id FROM hits WHERE near = 1
+    """
+    # J14: way-within-area — strict proper-crossing + any-vertex-inside,
+    # all exact int64 orientation/parity arithmetic as in the engine
+    _cross_case = """
+      ((({ax1} - {ax0}) * ({by0} - {ay0})
+        - ({ay1} - {ay0}) * ({bx0} - {ax0})) > 0
+       AND (({ax1} - {ax0}) * ({by1} - {ay0})
+            - ({ay1} - {ay0}) * ({bx1} - {ax0})) < 0
+       OR (({ax1} - {ax0}) * ({by0} - {ay0})
+           - ({ay1} - {ay0}) * ({bx0} - {ax0})) < 0
+          AND (({ax1} - {ax0}) * ({by1} - {ay0})
+               - ({ay1} - {ay0}) * ({bx1} - {ax0})) > 0)
+      AND
+      ((({bx1} - {bx0}) * ({ay0} - {by0})
+        - ({by1} - {by0}) * ({ax0} - {bx0})) > 0
+       AND (({bx1} - {bx0}) * ({ay1} - {by0})
+            - ({by1} - {by0}) * ({ax1} - {bx0})) < 0
+       OR (({bx1} - {bx0}) * ({ay0} - {by0})
+           - ({by1} - {by0}) * ({ax0} - {bx0})) < 0
+          AND (({bx1} - {bx0}) * ({ay1} - {by0})
+               - ({by1} - {by0}) * ({ax1} - {bx0})) > 0)
+    """.format(ax0="i.x0", ay0="i.y0", ax1="i.x1", ay1="i.y1",
+               bx0="a.x0", by0="a.y0", bx1="a.x1", by1="a.y1")
+    o["j14_way_within"] = f"""
+        WITH nodes AS ({sqlgen.nodes_select()}),
+        allw AS ({sqlgen.ways_select()}),
+        aw AS (SELECT id FROM allw
+               WHERE closed AND {sqlgen.way_area_sql()}
+                 AND leisure IS NOT NULL),
+        iw AS (SELECT id FROM allw
+               WHERE highway IS NOT NULL AND id % 7 = 0),
+        vx AS (
+          SELECT wm.way_id, wm.seq, n.x, n.y
+          FROM ({sqlgen.way_members_select()}) wm
+          JOIN nodes n ON n.id = wm.node_id
+        ),
+        edges AS (
+          SELECT * FROM (
+            SELECT way_id, x AS x0, y AS y0,
+                   lead(x) OVER (PARTITION BY way_id ORDER BY seq) AS x1,
+                   lead(y) OVER (PARTITION BY way_id ORDER BY seq) AS y1
+            FROM vx
+          ) WHERE x1 IS NOT NULL
+        ),
+        wbox AS (
+          SELECT way_id, min(x) AS minx, min(y) AS miny,
+                 max(x) AS maxx, max(y) AS maxy
+          FROM vx GROUP BY way_id
+        ),
+        cand AS (
+          SELECT i.id AS way_id, a.id AS area_id
+          FROM iw i JOIN aw a ON i.id <> a.id
+          JOIN wbox ib ON ib.way_id = i.id
+          JOIN wbox ab ON ab.way_id = a.id
+          WHERE ib.minx >= ab.minx AND ib.maxx <= ab.maxx
+            AND ib.miny >= ab.miny AND ib.maxy <= ab.maxy
+        ),
+        crossing AS (
+          SELECT c.way_id, c.area_id,
+                 max(CASE WHEN {_cross_case} THEN 1 ELSE 0 END) AS crosses
+          FROM cand c
+          JOIN edges i ON i.way_id = c.way_id
+          JOIN edges a ON a.way_id = c.area_id
+          GROUP BY c.way_id, c.area_id
+        ),
+        ivx AS (
+          SELECT DISTINCT c.way_id, c.area_id, v.x AS px, v.y AS py
+          FROM cand c JOIN vx v ON v.way_id = c.way_id
+        ),
+        vin AS (
+          SELECT ivx.way_id, ivx.area_id, px, py,
+                 sum(CASE WHEN ((e.y0 - py > 0) <> (e.y1 - py > 0))
+                      AND (((e.y0 - py) * (e.x1 - px)
+                            - (e.y1 - py) * (e.x0 - px) > 0)
+                           = (e.y0 - py > e.y1 - py))
+                     THEN 1 ELSE 0 END) AS cr
+          FROM ivx JOIN edges e ON e.way_id = ivx.area_id
+          GROUP BY ivx.way_id, ivx.area_id, px, py
+        ),
+        anyin AS (
+          SELECT way_id, area_id,
+                 max(CASE WHEN cr % 2 = 1 THEN 1 ELSE 0 END) AS any_inside
+          FROM vin GROUP BY way_id, area_id
+        )
+        SELECT x.way_id, x.area_id
+        FROM crossing x JOIN anyin y
+          ON y.way_id = x.way_id AND y.area_id = x.area_id
+        WHERE x.crosses = 0 AND y.any_inside = 1
     """
     # F12: shoelace area + floored-edge length (exact in both engines)
     from geodesk_gol_spark.functions.measure import measures_oracle_sql

@@ -687,6 +687,149 @@ def dwithin_join(
     )
 
 
+def _tile_ancestor_arms(df: DataFrame, keycol: str) -> DataFrame:
+    """(key, tile_id) rows: each input tile_id plus its ladder ancestors
+    (zoom 12/9/6/3/0), derived by pure bit arithmetic from the packed
+    id (zoom<<24 | row<<12 | col).  Shallower-than-z arms are skipped."""
+    z = "(tile_id >> 24)"
+    c = "(tile_id & 4095)"
+    r = "((tile_id >> 12) & 4095)"
+    arms = [
+        F.expr(
+            f"CASE WHEN {z} >= {zz} THEN CAST({zz} * 16777216 "
+            f"+ ({r} >> ({z} - {zz})) * 4096 "
+            f"+ ({c} >> ({z} - {zz})) AS INT) END"
+        )
+        for zz in (12, 9, 6, 3)
+    ] + [F.lit(0)]
+    return (
+        df.select(keycol, F.explode(F.array(*arms)).alias("anc_tile"))
+        .filter(F.col("anc_tile").isNotNull())
+        .dropDuplicates([keycol, "anc_tile"])
+    )
+
+
+def segments_cross_expr(prefix_a: str = "a", prefix_b: str = "b") -> Column:
+    """STRICT proper-intersection test for two segments in exact int64
+    arithmetic (touching/collinear contact does NOT count).  Expects
+    columns ``{a}x0..{a}y1`` and ``{b}x0..{b}y1``.  Orientation terms
+    are products of coordinate differences (< 2^31) — exact int64."""
+    def o(px, py, qx, qy, rx, ry):
+        return (
+            (F.col(qx) - F.col(px)) * (F.col(ry) - F.col(py))
+            - (F.col(qy) - F.col(py)) * (F.col(rx) - F.col(px))
+        )
+
+    a, b = prefix_a, prefix_b
+    o1 = o(f"{a}x0", f"{a}y0", f"{a}x1", f"{a}y1", f"{b}x0", f"{b}y0")
+    o2 = o(f"{a}x0", f"{a}y0", f"{a}x1", f"{a}y1", f"{b}x1", f"{b}y1")
+    o3 = o(f"{b}x0", f"{b}y0", f"{b}x1", f"{b}y1", f"{a}x0", f"{a}y0")
+    o4 = o(f"{b}x0", f"{b}y0", f"{b}x1", f"{b}y1", f"{a}x1", f"{a}y1")
+    return (
+        (((o1 > 0) & (o2 < 0)) | ((o1 < 0) & (o2 > 0)))
+        & (((o3 > 0) & (o4 < 0)) | ((o3 < 0) & (o4 > 0)))
+    )
+
+
+def way_within_join(
+    inner_ways: DataFrame,
+    area_ways: DataFrame,
+    way_homes: DataFrame,
+    extents: DataFrame,
+    vertices: DataFrame,
+) -> DataFrame:
+    """J14: way-within-area join — every (way W, area way A) pair where
+    W lies inside A's ring: NO edge of W properly crosses an edge of A
+    (boundary contact allowed) AND at least one W vertex is strictly
+    inside (even-odd).  Same semantics as the driver-polygon
+    :func:`polygon_within_ways`, lifted to feature↔feature.
+
+    Candidates run the home-tile ladder in BOTH directions — W's home
+    ancestors ⋈ A's homes ∪ A's home ancestors ⋈ W's homes — because
+    either feature may be homed at the deeper tile (W ⊆ A's coverage
+    puts ONE of the two homes in the other's ancestry, never
+    necessarily W's).  A bbox-containment prefilter (W bbox ⊆ A bbox)
+    bounds the exact phase: W-edges × A-edges per candidate pair for
+    the crossing test, W-vertices × A-edges for the parity test.
+    Returns (way_id, area_id).
+    """
+    iw = inner_ways.select((F.col("id") * 4 + 1).alias("typed_id"),
+                           F.col("id").alias("way_id"))
+    aw = area_ways.select((F.col("id") * 4 + 1).alias("typed_id"),
+                          F.col("id").alias("area_id"))
+    wh = way_homes.select("typed_id", "tile_id")
+    ih = wh.join(iw, "typed_id").select("way_id", "tile_id")
+    ah = wh.join(aw, "typed_id").select("area_id", "tile_id")
+    up = _tile_ancestor_arms(ih, "way_id").join(
+        ah.withColumnRenamed("tile_id", "anc_tile"), "anc_tile")
+    down = _tile_ancestor_arms(ah, "area_id").join(
+        ih.withColumnRenamed("tile_id", "anc_tile"), "anc_tile")
+    pairs = (
+        up.select("way_id", "area_id")
+        .unionByName(down.select("way_id", "area_id"))
+        .dropDuplicates(["way_id", "area_id"])
+        .filter(F.col("way_id") != F.col("area_id"))
+    )
+    ib = extents.select(F.shiftright("typed_id", 2).alias("way_id"),
+                        F.col("minx").alias("iminx"),
+                        F.col("miny").alias("iminy"),
+                        F.col("maxx").alias("imaxx"),
+                        F.col("maxy").alias("imaxy"))
+    ab = extents.select(F.shiftright("typed_id", 2).alias("area_id"),
+                        "minx", "miny", "maxx", "maxy")
+    cand = (
+        pairs.join(ib, "way_id").join(ab, "area_id")
+        .filter(
+            (F.col("iminx") >= F.col("minx"))
+            & (F.col("imaxx") <= F.col("maxx"))
+            & (F.col("iminy") >= F.col("miny"))
+            & (F.col("imaxy") <= F.col("maxy"))
+        )
+        .select("way_id", "area_id")
+    )
+    a_edges = way_edges_int(area_ways, vertices).select(
+        F.col("way_id").alias("area_id"),
+        F.col("x0").alias("ax0"), F.col("y0").alias("ay0"),
+        F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
+    )
+    i_edges = way_edges_int(inner_ways, vertices).select(
+        "way_id",
+        F.col("x0").alias("ix0"), F.col("y0").alias("iy0"),
+        F.col("x1").alias("ix1"), F.col("y1").alias("iy1"),
+    )
+    crossing = (
+        cand.join(i_edges, "way_id").join(a_edges, "area_id")
+        .withColumn("x", segments_cross_expr("i", "a").cast("long"))
+        .groupBy("way_id", "area_id")
+        .agg((F.sum("x") > 0).alias("crosses"))
+    )
+    ivx = (
+        inner_ways.select(F.col("id").alias("way_id"),
+                          F.explode("node_ids").alias("node_id"))
+        .dropDuplicates(["way_id", "node_id"])
+        .join(vertices.select(F.col("id").alias("node_id"),
+                              F.col("x").alias("px"),
+                              F.col("y").alias("py")), "node_id")
+    )
+    inside = (
+        cand.join(ivx, "way_id")
+        .join(a_edges.withColumnRenamed("ax0", "x0")
+              .withColumnRenamed("ay0", "y0")
+              .withColumnRenamed("ax1", "x1")
+              .withColumnRenamed("ay1", "y1"), "area_id")
+        .withColumn("c", edge_crossing_expr().cast("long"))
+        .groupBy("way_id", "area_id", "node_id")
+        .agg((F.sum("c") % 2 == 1).alias("in1"))
+        .groupBy("way_id", "area_id")
+        .agg(F.max("in1").alias("any_inside"))
+    )
+    return (
+        crossing.join(inside, ["way_id", "area_id"])
+        .filter(~F.col("crosses") & F.col("any_inside"))
+        .select("way_id", "area_id")
+    )
+
+
 def around_filter(
     store: DataFrame, catalog: TileCatalog,
     cx: int, cy: int, radius: int,

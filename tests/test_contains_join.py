@@ -194,6 +194,63 @@ def test_dwithin_cross_tile_coverage(spark):
     assert got == [101]
 
 
+def test_way_within_join_semantics(spark):
+    """J14 on hand geometry against the U-ring: a small square in the
+    left arm -> within; one straddling the ring edge -> crossing, not
+    within; one inside the notch (bbox-contained but outside the ring)
+    -> no vertex inside, not within."""
+    from geodesk_gol_spark.query.spatial import way_within_join
+
+    ring_verts = [(i + 1, O + x, O + y)
+                  for i, (x, y) in enumerate(RING[:-1])]
+
+    def square(base, x, y, s=6):
+        pts = [(base, x, y), (base + 1, x + s, y),
+               (base + 2, x + s, y + s), (base + 3, x, y + s)]
+        return pts, [base, base + 1, base + 2, base + 3, base]
+
+    in_pts, in_ids = square(101, O + 10, O + 50)       # inside left arm
+    cr_pts, cr_ids = square(111, O - 3, O + 50)        # straddles edge
+    no_pts, no_ids = square(121, O + 47, O + 60)       # in the notch
+    # bbox-contained but proper-crosses the notch wall (x=40..46 at y 60)
+    nc_pts, nc_ids = square(131, O + 37, O + 60)
+    verts = ring_verts + in_pts + cr_pts + no_pts + nc_pts
+    pts = spark.createDataFrame(
+        pd.DataFrame(verts, columns=["id", "x", "y"])
+    )
+    ring_ids = [v[0] for v in ring_verts] + [ring_verts[0][0]]
+    ways = spark.createDataFrame(
+        [(7, ring_ids), (31, in_ids), (32, cr_ids), (33, no_ids),
+         (34, nc_ids)],
+        "id long, node_ids array<long>",
+    )
+    cell = (O + 50) >> CELL_SHIFT
+    z3 = (3 << 24) | ((cell >> 9) << 12) | (cell >> 9)
+    homes = spark.createDataFrame(
+        [(w * 4 + 1, z3) for w in (7, 31, 32, 33, 34)],
+        "typed_id long, tile_id int",
+    )
+
+    def ext(w, pts_):
+        xs = [p[1] for p in pts_]
+        ys = [p[2] for p in pts_]
+        return (w * 4 + 1, min(xs), min(ys), max(xs), max(ys))
+
+    extents = spark.createDataFrame(
+        [ext(7, ring_verts), ext(31, in_pts), ext(32, cr_pts),
+         ext(33, no_pts), ext(34, nc_pts)],
+        "typed_id long, minx long, miny long, maxx long, maxy long",
+    )
+    inner = ways.filter(F.col("id") != 7)
+    area = ways.filter(F.col("id") == 7)
+    got = sorted(
+        (r["way_id"], r["area_id"])
+        for r in way_within_join(inner, area, homes, extents,
+                                 pts).collect()
+    )
+    assert got == [(31, 7)]
+
+
 def test_way_measures_known_values(spark):
     """F12 on hand-checkable geometry: a 100×100 square ring (2A=20000,
     perimeter 400) and an open 3-4-5 way (len 5+5=10 via exact
