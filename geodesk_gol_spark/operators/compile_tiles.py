@@ -235,13 +235,27 @@ def write_store_resumable(
             for f in glob.glob(os.path.join(bdir, "*.parquet"))
         )
 
+    import json
+
     for i, (lo, hi) in enumerate(ranges):
         bdir = os.path.join(path, "_batches", f"b{i:03d}")
+        range_file = os.path.join(bdir, "_RANGE.json")
         resumed = os.path.exists(os.path.join(bdir, "_SUCCESS"))
+        if resumed:
+            # A committed batch is only reusable if it was planned over
+            # the SAME tile range — resuming after store_batches or the
+            # tile catalog changed would otherwise finalize a store
+            # with duplicated/missing tile ranges.
+            try:
+                with open(range_file) as fh:
+                    rec = json.load(fh)
+                resumed = rec.get("tile_lo") == lo and rec.get("tile_hi") == hi
+            except (OSError, ValueError):
+                resumed = False  # pre-manifest or corrupt batch: rewrite
         t0 = time.time()
         if not resumed:
             if os.path.exists(bdir):
-                shutil.rmtree(bdir)  # partial write from a dead run
+                shutil.rmtree(bdir)  # partial or stale-range batch
             (
                 rows.filter(F.col("tile_id").between(lo, hi))
                 .repartitionByRange(per_batch, "tile_id", "hilbert",
@@ -250,6 +264,9 @@ def write_store_resumable(
                 .write.mode("overwrite")
                 .parquet(bdir)
             )
+            with open(range_file, "w") as fh:
+                json.dump({"tile_lo": lo, "tile_hi": hi,
+                           "n_batches": len(ranges)}, fh)
         lineage.append({
             "stage": "store_batch", "batch": i,
             "tile_lo": lo, "tile_hi": hi,

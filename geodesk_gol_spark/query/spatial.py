@@ -567,21 +567,24 @@ def relation_contains_join(
 
 def _disk_ladder_points(points: DataFrame, r: int) -> DataFrame:
     """Like :func:`_ladder_points`, but the point's radius-r disk: at
-    each ladder zoom, emit the DISTINCT tiles containing the disk
-    bbox's four corners (≤4 per zoom when r is below the leaf-tile
-    span).  This closes the dwithin coverage hole — a point within r of
-    a way's extent can sit one tile OUTSIDE the home tile's ladder
-    ancestry, but never further than the corner tiles reach."""
+    each ladder zoom, emit the DISTINCT tiles of the full (≤3×3) tile
+    rectangle covering the disk bbox — the grid of corner columns/rows
+    PLUS the center column/row.  Corners alone are incomplete once
+    2r exceeds the tile span (the bbox then straddles 3 columns and the
+    middle column — including the point's own tile — is never emitted);
+    with the center arm the enumeration is exhaustive for any r below
+    one leaf-tile span, because a width-2r bbox with 2r < 2·span
+    touches at most 3 columns: (x-r)>>s, x>>s, (x+r)>>s."""
     if not 0 < r < (1 << (WORLD_BITS - LEAF_ZOOM)):
         raise ValueError(
             f"radius must be in (0, {1 << (WORLD_BITS - LEAF_ZOOM)}) "
-            f"world units (one leaf-tile span) for 4-corner coverage")
+            f"world units (one leaf-tile span) for 3x3 coverage")
     lim = (1 << WORLD_BITS) - 1
     arms = []
     for z in (12, 9, 6, 3):
         shift = 1 << (WORLD_BITS - z)
-        for sx in (-r, r):
-            for sy in (-r, r):
+        for sx in (-r, 0, r):
+            for sy in (-r, 0, r):
                 cx = f"least(greatest(x + {sx}, 0), {lim})"
                 cy = f"least(greatest(y + {sy}, 0), {lim})"
                 arms.append(F.expr(
@@ -770,12 +773,18 @@ def way_within_join(
         .dropDuplicates(["way_id", "area_id"])
         .filter(F.col("way_id") != F.col("area_id"))
     )
-    ib = extents.select(F.shiftright("typed_id", 2).alias("way_id"),
+    # Restrict to WAY extents before collapsing typed_id → id: the
+    # extents frame interleaves ways (4k+1) and relations (4k+2), and
+    # relation 4k+2 >> 2 collides with way 4k+1 >> 2 in per-type id
+    # spaces, which would duplicate bbox rows and flip the even-odd
+    # parity sums below (every crossing counted twice ⇒ always even).
+    way_ext = extents.filter((F.col("typed_id") % 4) == 1)
+    ib = way_ext.select(F.shiftright("typed_id", 2).alias("way_id"),
                         F.col("minx").alias("iminx"),
                         F.col("miny").alias("iminy"),
                         F.col("maxx").alias("imaxx"),
                         F.col("maxy").alias("imaxy"))
-    ab = extents.select(F.shiftright("typed_id", 2).alias("area_id"),
+    ab = way_ext.select(F.shiftright("typed_id", 2).alias("area_id"),
                         "minx", "miny", "maxx", "maxy")
     cand = (
         pairs.join(ib, "way_id").join(ab, "area_id")

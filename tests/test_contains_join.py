@@ -194,6 +194,43 @@ def test_dwithin_cross_tile_coverage(spark):
     assert got == [101]
 
 
+def test_dwithin_large_radius_middle_tile(spark):
+    """Regression (r04): for r in (2^18, 2^19) the disk bbox spans
+    THREE zoom-12 columns; 4-corner enumeration missed the middle
+    column — including the point's own leaf tile — so a way homed
+    there was silently dropped.  The 3x3 grid must find it."""
+    from geodesk_gol_spark.query.spatial import dwithin_join
+
+    leaf = 1 << CELL_SHIFT  # 2^19
+    r = (1 << 18) + 50_000  # in (2^18, 2^19): bbox width > leaf span
+    # point at the CENTER of its leaf tile, so x±r land in the two
+    # neighbor columns and the middle column holds only the point
+    col = O >> CELL_SHIFT
+    px = (col << CELL_SHIFT) + leaf // 2
+    py = O
+    # short vertical segment 10 units right of the point — same tile
+    verts = [(1, px + 10, py), (2, px + 10, py + 100)]
+    pts = spark.createDataFrame(
+        pd.DataFrame(verts + [(101, px, py)], columns=["id", "x", "y"])
+    )
+    ways = spark.createDataFrame([(7, [1, 2])],
+                                 "id long, node_ids array<long>")
+    cc, cr = (px + 10) >> CELL_SHIFT, py >> CELL_SHIFT
+    home = (12 << 24) | (cr << 12) | cc
+    homes = spark.createDataFrame([(7 * 4 + 1, home)],
+                                  "typed_id long, tile_id int")
+    extents = spark.createDataFrame(
+        [(7 * 4 + 1, px + 10, py, px + 10, py + 100)],
+        "typed_id long, minx long, miny long, maxx long, maxy long",
+    )
+    assert ((px - r) >> CELL_SHIFT) == col - 1  # bbox truly spans 3 cols
+    assert ((px + r) >> CELL_SHIFT) == col + 1
+    got = [row["node_id"]
+           for row in dwithin_join(pts, ways, homes, extents, r).collect()
+           if row["node_id"] > 100]
+    assert got == [101]
+
+
 def test_way_within_join_semantics(spark):
     """J14 on hand geometry against the U-ring: a small square in the
     left arm -> within; one straddling the ring edge -> crossing, not
@@ -249,6 +286,23 @@ def test_way_within_join_semantics(spark):
                                  pts).collect()
     )
     assert got == [(31, 7)]
+
+    # Regression: relation typed_id 4k+2 collides with way 4k+1 after
+    # the >>2 collapse.  A relation extent row sharing way 31's id must
+    # NOT duplicate its candidate bbox row (a duplicate doubles every
+    # parity sum — always even — silently dropping the within pair).
+    extents_coll = extents.unionByName(
+        spark.createDataFrame(
+            [(31 * 4 + 2, O + 10, O + 50, O + 16, O + 56)],
+            "typed_id long, minx long, miny long, maxx long, maxy long",
+        )
+    )
+    got2 = sorted(
+        (r["way_id"], r["area_id"])
+        for r in way_within_join(inner, area, homes, extents_coll,
+                                 pts).collect()
+    )
+    assert got2 == [(31, 7)]
 
 
 def test_way_measures_known_values(spark):

@@ -134,3 +134,28 @@ def test_reader_ignores_batch_dirs(spark, tmp_path):
         f"SELECT count(*) FROM read_parquet('{out}/*.parquet')"
     ).fetchone()[0]
     assert n == 2_000
+
+
+def test_resume_invalidates_stale_range_batches(spark, tmp_path):
+    """Regression (r04): a committed batch is only reusable when it was
+    planned over the SAME tile range.  Resuming into an existing path
+    after the tile catalog changed must rewrite any batch whose
+    recorded (lo, hi) differs — not silently finalize a store with
+    duplicated/missing ranges."""
+    rows = _rows(spark)
+    out = str(tmp_path / "store")
+    # first build: hot tile 7 dominates -> one batch plan
+    write_store_resumable(rows, out, _tiles_pdf(rows),
+                          partitions=8, n_batches=4)
+    # second build into the SAME path with a shifted corpus: different
+    # tile catalog -> different planned ranges
+    rows2 = rows.withColumn("tile_id", F.col("tile_id") + 5)
+    second = write_store_resumable(rows2, out, _tiles_pdf(rows2),
+                                   partitions=8, n_batches=4)
+    # every batch whose planned range changed was rewritten; the final
+    # store equals a fresh single-job write of rows2
+    fresh = str(tmp_path / "fresh")
+    write_store(rows2, fresh, partitions=8)
+    pd.testing.assert_frame_equal(_content(spark, fresh),
+                                  _content(spark, out))
+    assert sum(x["rows"] for x in second) == rows2.count()
