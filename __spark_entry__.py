@@ -968,16 +968,18 @@ def _osc_text_for(spark, sf) -> str:
 def _q_s8_osc_roundtrip(spark, sf):
     """S8 end-to-end: .osc file → parse → creates routed through
     assignment → MERGE into the store → affected rows."""
-    import pathlib
-
+    from geodesk_gol_spark.gate import derived_cache_dir
     from geodesk_gol_spark.streaming.osc import parse_osc
     from geodesk_gol_spark.streaming.update import merge_changes
 
     c = ctx(spark, sf)
-    oscdir = pathlib.Path("/root/repo/.gatecache/osc")
+    # memoized under the code+data fingerprint: the three collects that
+    # assemble the change doc run once per (code, corpus), not per sweep
+    oscdir = derived_cache_dir(sf, "osc")
     oscdir.mkdir(parents=True, exist_ok=True)
-    path = oscdir / (pathlib.Path(sf.rstrip("/")).name + ".osc")
-    path.write_text(_osc_text_for(spark, sf))
+    path = oscdir / "changes.osc"
+    if not path.exists():
+        path.write_text(_osc_text_for(spark, sf))
 
     changes = parse_osc(spark, str(path))
     # route creates through projection + tile assignment (J1 on new coords)

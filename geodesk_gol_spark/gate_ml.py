@@ -1451,10 +1451,56 @@ def _q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine side is an independent DataFrame program (operators.mldf);
+    the SQL template remains the DuckDB oracle only — a template logic
+    bug can no longer pass both engines (round-3 review)."""
+    from .operators import mldf
+
     vecs = _plane_vectors(spark, sf_dir, 8, 100)
-    v = _view(spark, sf_dir, "embeddings")
-    return spark.sql(sql_ann_lsh_topk(
-        v, "spark", planes=vecs, eb_src=_lsh_bucket_view(spark, sf_dir)))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    buckets = spark.table(_lsh_bucket_view(spark, sf_dir))
+    return mldf.ann_lsh_topk(emb, vecs, buckets=buckets)
+
+
+def _capped_shingle_view(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized capped-shingle table shared by the DataFrame dedup
+    programs (read 3×: bands + both verification sides)."""
+    from .operators import mldf
+
+    return _materialized_view(
+        spark, f"{sf_dir}:capped_shingles",
+        lambda: mldf.capped_shingles(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")))
+
+
+def _q_dedup_minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import mldf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh2 = spark.table(_capped_shingle_view(spark, sf_dir))
+    return mldf.dedup_minhash(docs, sh2=sh2)
+
+
+def _q_dedup_incremental_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import mldf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh2 = spark.table(_capped_shingle_view(spark, sf_dir))
+    return mldf.dedup_incremental(docs, sh2=sh2)
+
+
+def _q_text_quality_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import mldf
+
+    return mldf.text_quality(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_pack_sequences_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import mldf
+
+    return mldf.pack_sequences(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _sql_query_planes(template, table: str, base: int = 100,
@@ -1692,7 +1738,7 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": _sql_query(sql_dedup_exact, "documents"),
         "dedup_ngram_jaccard": _sql_query(sql_dedup_ngram_jaccard, "documents"),
-        "dedup_minhash_lsh": _sql_query(sql_dedup_minhash, "documents"),
+        "dedup_minhash_lsh": _q_dedup_minhash_df,
         "dedup_simhash": _sql_query(sql_dedup_simhash, "documents"),
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_embed_cosine": _q_dedup_embed_cosine,
@@ -1701,9 +1747,9 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": _sql_query(sql_text_decontaminate, "documents"),
         "text_repetition": _sql_query(sql_text_repetition, "documents"),
         "text_chunks": _sql_query(sql_text_chunks, "documents"),
-        "pack_sequences": _sql_query(sql_pack_sequences, "documents"),
+        "pack_sequences": _q_pack_sequences_df,
         "text_langid": _sql_query(sql_text_langid, "documents"),
-        "text_quality": _sql_query(sql_text_quality, "documents"),
+        "text_quality": _q_text_quality_df,
         "text_tokens_by_lang": _sql_query(sql_text_tokens_by_lang, "documents"),
         "text_fingerprint": _sql_query(sql_text_fingerprint, "documents"),
         "ann_cosine_topk": _sql_query(sql_ann_cosine_topk, "embeddings"),
@@ -1734,7 +1780,7 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_kmeans_iter": _sql_query_planes(sql_ann_kmeans_iter,
                                              "embeddings", base=200,
                                              kw="cents"),
-        "dedup_incremental": _sql_query(sql_dedup_incremental, "documents"),
+        "dedup_incremental": _q_dedup_incremental_df,
         "ann_kmeans_lloyd": _q_ann_kmeans_lloyd,
         "streaming_dedup_incremental": _q_streaming_dedup,
     }

@@ -1,0 +1,352 @@
+"""DataFrame-API engine programs for the ML-family gate heads.
+
+Round-3 review finding: ~30 ML gate entries executed ``spark.sql()`` on
+the SAME template text as their DuckDB oracle (dialect-translated), so
+a logic bug in the template would pass both engines identically.  These
+are independently written DataFrame programs for the five family heads
+(minhash dedup, incremental dedup, LSH ANN top-k, text quality,
+sequence packing); the SQL templates in :mod:`..gate_ml` remain the
+oracle side only.
+
+Every comparison-relevant value is integer-exact or a single correctly
+rounded IEEE op evaluated in the same association order as the oracle
+template, so value-hash equality is bit-for-bit (see gate_ml module
+docstring).  All programs are built-in-function-only (whole-stage
+codegen, no Python UDFs): at 10^12-doc scale the only shuffles are the
+keyed joins/aggregations the algorithm itself requires.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.minhash import P, mixers
+
+
+# ---------------------------------------------------------------------------
+# shared shingle pipeline (raw strings; the hot-shingle cap and the
+# exact-verification join key both operate on the string, not the hash)
+# ---------------------------------------------------------------------------
+
+def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, sh): DISTINCT k-word shingles per document."""
+    ws = F.split(F.col("text"), " ")
+    return (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, k)),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+def capped_shingles(docs: DataFrame, k: int = 3, cap: int = 50) -> DataFrame:
+    """Shingles minus the hot ones (document frequency > cap).
+
+    The cap bounds candidate-pair fan-out at any corpus size: a shingle
+    shared by d docs creates O(d²) bucket pairs, so boilerplate shingles
+    (license headers, navigation chrome) would otherwise dominate."""
+    sh = doc_shingles(docs, k)
+    common = (
+        sh.groupBy("sh").count()
+        .filter(F.col("count") <= cap)
+        .select("sh")
+    )
+    return sh.join(common, "sh").select("doc_id", "sh")
+
+
+def _h48(col) -> F.Column:
+    """First 12 hex chars of md5 → 48-bit BIGINT (gate_ml.hex2int)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def _signatures(sh2: DataFrame, n_hash: int) -> DataFrame:
+    """Column-wise Carter-Wegman minhash signature over shingle hashes."""
+    hashes = sh2.select("doc_id", _h48(F.col("sh")).alias("h0"))
+    aggs = [
+        F.min(((F.col("h0") % P) * F.lit(a) + F.lit(b)) % P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(mixers(n_hash))
+    ]
+    return hashes.groupBy("doc_id").agg(*aggs)
+
+
+def _band_keys(sigs: DataFrame, n_hash: int, extra: list[str]) -> DataFrame:
+    """(doc_id, *extra, band, key): 2-slot band buckets (LSH join key)."""
+    parts = [
+        sigs.select(
+            "doc_id", *extra,
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_",
+                F.col(f"mh{2 * b}").cast("string"),
+                F.col(f"mh{2 * b + 1}").cast("string"),
+            ).alias("key"),
+        )
+        for b in range(n_hash // 2)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _verify_pairs(cand: DataFrame, sh2: DataFrame,
+                  left: str, right: str) -> DataFrame:
+    """Exact containment check inside LSH candidate pairs: count common
+    DISTINCT shingles, keep pairs with Jaccard ≥ 0.5
+    (2·common ≥ |A| + |B| − common).  Adds column ``com``."""
+    sizes = sh2.groupBy("doc_id").count().withColumnRenamed("count", "n")
+    com = (
+        cand
+        .join(sh2.select(F.col("doc_id").alias(left), "sh"), left)
+        .join(sh2.select(F.col("doc_id").alias(right), "sh"),
+              [right, "sh"])
+        .groupBy(left, right)
+        .agg(F.count("*").alias("com"))
+    )
+    return (
+        com
+        .join(sizes.select(F.col("doc_id").alias(left),
+                           F.col("n").alias("n_l")), left)
+        .join(sizes.select(F.col("doc_id").alias(right),
+                           F.col("n").alias("n_r")), right)
+        .filter(F.col("com") * 2 >= F.col("n_l") + F.col("n_r") - F.col("com"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. minhash-LSH near-dedup (batch)
+# ---------------------------------------------------------------------------
+
+def dedup_minhash(docs: DataFrame, n_hash: int = 8, cap: int = 50,
+                  sh2: DataFrame | None = None) -> DataFrame:
+    """(doc_a, doc_b, n_common): near-duplicate pairs via banded
+    minhash-LSH candidates + exact shingle verification.
+
+    Scale shape: hashing is map-side, the signature is one groupBy, the
+    candidate join is keyed on an 8-bit-entropy (band, key) pair, and
+    only verified candidates ever join back to the shingle table — no
+    all-pairs term anywhere.  Pass a materialized ``sh2`` to share the
+    capped-shingle table across consumers (it is read 3×)."""
+    if sh2 is None:
+        sh2 = capped_shingles(docs, cap=cap)
+    bands = _band_keys(_signatures(sh2, n_hash), n_hash, [])
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.key") == F.col("b.key"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return (
+        _verify_pairs(cand, sh2, "doc_a", "doc_b")
+        .select("doc_a", "doc_b", F.col("com").alias("n_common"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. incremental (cross-snapshot) dedup
+# ---------------------------------------------------------------------------
+
+def dedup_incremental(docs: DataFrame, n_hash: int = 8, cap: int = 50,
+                      sh2: DataFrame | None = None) -> DataFrame:
+    """(new_doc, canon_seen, n_matches): NEW batch deduplicated against
+    the SEEN corpus, never re-pairing seen×seen.  Split is deterministic
+    on the doc_id hash (~8:2).  At 10^12-doc scale the seen-side band
+    buckets are a materialized table each arriving batch probes — no
+    seen-corpus rescan beyond the bucket join."""
+    if sh2 is None:
+        sh2 = capped_shingles(docs, cap=cap)
+    side = F.when(
+        _h48(F.col("doc_id").cast("string")) % 10 < 8, F.lit("seen")
+    ).otherwise(F.lit("new"))
+    sigs = _signatures(sh2, n_hash).withColumn("side", side)
+    bands = _band_keys(sigs, n_hash, ["side"])
+    cand = (
+        bands.filter(F.col("side") == "seen").alias("s")
+        .join(bands.filter(F.col("side") == "new").alias("n"),
+              (F.col("s.band") == F.col("n.band"))
+              & (F.col("s.key") == F.col("n.key")))
+        .select(F.col("s.doc_id").alias("seen_doc"),
+                F.col("n.doc_id").alias("new_doc"))
+        .distinct()
+    )
+    dups = _verify_pairs(cand, sh2, "seen_doc", "new_doc")
+    return (
+        dups.groupBy("new_doc")
+        .agg(F.min("seen_doc").alias("canon_seen"),
+             F.count("*").cast("long").alias("n_matches"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. text quality metrics
+# ---------------------------------------------------------------------------
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, n_stopwords, stop_ratio_milli) —
+    pure per-row map, no shuffle."""
+    ws = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id", "n_chars",
+        F.size(ws).alias("n_tokens"),
+        F.size(F.filter(ws, lambda w: (w == "the") | (w == "a")))
+        .alias("n_stopwords"),
+    )
+    return base.withColumn(
+        "stop_ratio_milli",
+        F.floor(F.col("n_stopwords") * 1000 / F.col("n_tokens"))
+        .cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_sequences(docs: DataFrame, cap: int = 64) -> DataFrame:
+    """(source, doc_id, seq_id, seq_offset, seg_tokens): concat-and-chunk
+    packing of documents into fixed-capacity training sequences, per
+    source, in doc_id order.  One window cumsum per source partition +
+    a narrow explode over the ≤ toks/cap+1 sequences a doc touches.
+
+    At 100 TB a source larger than one partition sub-shards by doc_id
+    range and offsets each shard's cumsum with a broadcast prefix —
+    same arithmetic, no global sort."""
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    base = docs.select("source", "doc_id", toks.alias("toks")).filter(
+        F.col("toks") >= 1
+    )
+    w = (
+        Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        base.withColumn("cum_end", F.sum("toks").over(w))
+        .withColumn("cum_start", F.col("cum_end") - F.col("toks"))
+        .withColumn("s0", F.floor(F.col("cum_start") / cap).cast("long"))
+        .withColumn("s1",
+                    F.floor((F.col("cum_end") - 1) / cap).cast("long"))
+    )
+    seq = spans.select(
+        "source", "doc_id", "cum_start", "cum_end",
+        F.explode(F.sequence(F.col("s0"), F.col("s1"))).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("cum_start"), F.col("seq_id") * cap)
+    hi = F.least(F.col("cum_end"), (F.col("seq_id") + 1) * cap)
+    return seq.select(
+        "source", "doc_id", F.col("seq_id").cast("long").alias("seq_id"),
+        (lo - F.col("seq_id") * cap).cast("long").alias("seq_offset"),
+        (hi - lo).cast("long").alias("seg_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. LSH ANN top-k
+# ---------------------------------------------------------------------------
+
+def _dot_cols(emb, q, dim: int = 64) -> F.Column:
+    """Left-associated 64-term dot product — the same association order
+    as the oracle template, so the IEEE result is bit-identical."""
+    return reduce(
+        lambda acc, i: acc + emb[i].cast("double") * q[i].cast("double"),
+        range(1, dim), emb[0].cast("double") * q[0].cast("double"),
+    )
+
+
+def _dot_lit_cols(emb, plane: list[float]) -> F.Column:
+    return reduce(
+        lambda acc, i: acc + emb[i].cast("double") * F.lit(plane[i]),
+        range(1, len(plane)), emb[0].cast("double") * F.lit(plane[0]),
+    )
+
+
+def lsh_buckets(emb: DataFrame, planes: list[list[float]]) -> DataFrame:
+    """(vec_id, bucket): sign-bit code against broadcast hyperplanes."""
+    e = F.col("embedding")
+    bucket = reduce(
+        lambda acc, jp: acc + F.when(
+            _dot_lit_cols(e, jp[1]) > 0, F.lit(1 << jp[0]).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+        enumerate(planes), F.lit(0).cast("long"),
+    )
+    return emb.select("vec_id", bucket.alias("bucket"))
+
+
+def ann_lsh_topk(emb: DataFrame, planes: list[list[float]],
+                 buckets: DataFrame | None = None,
+                 k: int = 5, n_q: int = 4,
+                 n_planes: int = 8) -> DataFrame:
+    """(q_id, neighbor_id, rank): ANN top-k through LSH buckets with
+    hamming-1 multiprobe, exact cosine re-rank inside candidates, and a
+    per-query brute fallback ONLY where probes yield < k candidates.
+    The bucket join is a hash join keyed by an 8-bit code; no cross
+    join on the main path."""
+    eb = buckets if buckets is not None else lsh_buckets(emb, planes)
+    e_all = emb.select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    qb = eb.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("q_id"), "bucket")
+    bits = reduce(
+        lambda a, b: a.unionByName(b),
+        [qb.sparkSession.range(1).select(
+            F.lit(1 << j).cast("long").alias("bit"))
+         for j in range(n_planes)],
+    )
+    probes = qb.select("q_id", F.col("bucket").alias("probe")).unionByName(
+        qb.crossJoin(bits).select(
+            "q_id",
+            F.col("bucket").bitwiseXOR(F.col("bit")).alias("probe"))
+    )
+    cand = probes.join(
+        eb.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("bucket").alias("probe")), "probe"
+    ).select("q_id", "neighbor_id")
+    scored = (
+        cand
+        .join(e_all.select(F.col("vec_id").alias("neighbor_id"),
+                           "embedding"), "neighbor_id")
+        .join(q, "q_id")
+        .select(
+            "q_id", "neighbor_id",
+            (_dot_cols(F.col("embedding"), F.col("q_emb"))
+             / F.sqrt(_dot_cols(F.col("embedding"), F.col("embedding"))))
+            .alias("score"),
+        )
+    )
+    wrank = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    ranked = scored.select(
+        "q_id", "neighbor_id",
+        F.row_number().over(wrank).cast("int").alias("rank"),
+        F.count("*").over(Window.partitionBy("q_id")).alias("ncand"),
+    )
+    ok = ranked.filter(F.col("ncand") >= k).select("q_id").distinct()
+    sparse = q.join(ok, "q_id", "left_anti")
+    fb = (
+        e_all.crossJoin(sparse)
+        .select(
+            "q_id", F.col("vec_id").alias("neighbor_id"),
+            (_dot_cols(F.col("embedding"), F.col("q_emb"))
+             / F.sqrt(_dot_cols(F.col("embedding"), F.col("embedding"))))
+            .alias("score"),
+        )
+        .select("q_id", "neighbor_id",
+                F.row_number().over(wrank).cast("int").alias("rank"))
+    )
+    return (
+        ranked.filter((F.col("rank") <= k) & (F.col("ncand") >= k))
+        .select("q_id", "neighbor_id", "rank")
+        .unionByName(fb.filter(F.col("rank") <= k))
+    )

@@ -29,7 +29,7 @@ def main() -> None:
     sfs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
     # prune stale fingerprints first (old code states, dead weight)
     root = gate._PKG.parent / ".gatecache"
-    live = {gate._cache_dir(sf).name for sf in sfs} | {"osc"}
+    live = {gate._cache_dir(sf).name for sf in sfs}
     fp = gate._code_fingerprint()
     if root.exists():
         for p in root.iterdir():
