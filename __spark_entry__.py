@@ -682,6 +682,72 @@ def _q_u3_save_subset(spark, sf):
     )
 
 
+_BB2 = (1120000000, 642000000, 1132000000, 654000000)  # overlaps _BB
+
+
+def _ensure_full_archive(spark, sf):
+    """Memoized full-store archive shared by s5/install/copy rows."""
+    from geodesk_gol_spark.gate import derived_cache_dir
+    from geodesk_gol_spark.operators.archive import MANIFEST, save_tiles
+
+    c = ctx(spark, sf)
+    path = derived_cache_dir(sf, "archive")
+    if not (path / MANIFEST).exists():
+        save_tiles(c["store"], c["catalog"], str(path))
+    return path
+
+
+def _q_u_copy_tiles(spark, sf):
+    """``gol copy`` analogue (CopyCommand.cpp:37-44): target is seeded
+    with the _BB subset archive, then the _BB2 tile set is copied in
+    from the full archive — merged result must hold exactly the tiles
+    of _BB ∪ _BB2 with full-store per-tile contents (kept tiles from
+    the seed, replaced/added tiles from the copy, atomic dir swap)."""
+    import shutil
+
+    from geodesk_gol_spark.gate import derived_cache_dir
+    from geodesk_gol_spark.operators.archive import (copy_tiles, load_tiles,
+                                                     save_tiles)
+
+    c = ctx(spark, sf)
+    src = _ensure_full_archive(spark, sf)
+    root = derived_cache_dir(sf, "copytgt")
+    tgt = root / "archive"
+    done = root / "_COPIED"
+    if not done.exists():
+        if tgt.exists():
+            shutil.rmtree(tgt)
+        save_tiles(c["store"], c["catalog"], str(tgt), bbox=_BB)
+        copy_tiles(spark, str(src), str(tgt), catalog=c["catalog"],
+                   bbox=_BB2)
+        done.touch()
+    rows = load_tiles(spark, str(tgt), verify=True)
+    return rows.groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("is_ghost").cast("long")).alias("n_ghosts"),
+    )
+
+
+def _q_s_install_archive(spark, sf):
+    """``gol install`` analogue (GolTool.cpp:29-48 dispatch): fetch the
+    published archive over the URL path (file:// exercises the same
+    fetch/verify/invalidate machinery as HTTP), stamp the install
+    record, and read back the INSTALLED parts from disk."""
+    from geodesk_gol_spark.gate import derived_cache_dir
+    from geodesk_gol_spark.operators.archive import install_archive
+
+    src = _ensure_full_archive(spark, sf)
+    dest = derived_cache_dir(sf, "install")
+    if not (dest / "installed.json").exists():
+        rec = install_archive(spark, f"file://{src}", str(dest))
+        assert rec["verified"]
+    rows = spark.read.parquet(str(dest / "tiles"))
+    return rows.groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("is_ghost").cast("long")).alias("n_ghosts"),
+    )
+
+
 def _q_o_dump_tiles(spark, sf):
     """``gol dump-tiles`` analogue: write the per-tile text dump
     (memoized, code+data fingerprinted), then read the TREE back via
@@ -1204,6 +1270,74 @@ def _q_s9_map_roundtrip(spark, sf):
     return spark.createDataFrame([(p,) for p in pops], "popup string")
 
 
+_PBF_ID_CAP = 60_000  # same O(1)-fixture-size rationale as _OSC_ID_CAP
+
+
+def _pbf_fixture_path(spark, sf) -> str:
+    """Synthesize a .pbf from the corpus (capped id range, so the
+    driver-side fixture write stays O(1) at any scale factor), memoized
+    under the code+data fingerprint.  Real ingestion is executor-side
+    (sources/pbf.read_pbf); only the FIXTURE ENCODE collects."""
+    import os
+
+    from geodesk_gol_spark.gate import derived_cache_dir
+    from geodesk_gol_spark.sources.pbf import write_pbf
+
+    d = derived_cache_dir(sf, "pbf")
+    path = d / "fixture.osm.pbf"
+    if not path.exists():
+        d.mkdir(parents=True, exist_ok=True)
+        c = ctx(spark, sf)
+        nrows = (
+            c["feats"]["nodes"].filter(F.col("id") <= _PBF_ID_CAP)
+            .select("id", "lat100nd", "lon100nd", "tags")
+            .orderBy("id").collect()
+        )
+        wrows = (
+            c["feats"]["ways"].filter(F.col("id") <= _PBF_ID_CAP)
+            .select("id", "node_ids", "tags").orderBy("id").collect()
+        )
+        tmp = d / f"fixture.osm.pbf.tmp.{os.getpid()}"
+        write_pbf(
+            str(tmp),
+            nodes=[(r.id, int(r.lat100nd) * 100, int(r.lon100nd) * 100,
+                    dict(r.tags or {})) for r in nrows],
+            ways=[(r.id, list(r.node_ids), dict(r.tags or {}))
+                  for r in wrows],
+        )
+        os.replace(tmp, path)
+    return str(path)
+
+
+def _q_s1_pbf_nodes(spark, sf):
+    """S1 (PBF half): block-parallel .osm.pbf decode — blob index on
+    the driver, mapInPandas inflate + vectorized varint/zigzag/cumsum
+    decode on executors (OsmPbfReader.h:109-330 re-expressed).  The
+    returned nanodegree coordinates went through zlib, delta coding and
+    the string table; the oracle derives the same integers straight
+    from the base tables, so any codec bug breaks the value hash."""
+    from geodesk_gol_spark.sources.pbf import read_pbf
+
+    path = _pbf_fixture_path(spark, sf)
+    return read_pbf(spark, path, "nodes").select(
+        "id", "lat_nd", "lon_nd",
+        F.col("tags")["amenity"].alias("amenity"),
+    )
+
+
+def _q_s1_pbf_ways(spark, sf):
+    """S1 (PBF half), way decode: packed sint64 delta refs → exploded
+    (way_id, seq, node_id) membership rows, checked against the
+    independent way_members derivation."""
+    from geodesk_gol_spark.sources.pbf import read_pbf
+
+    path = _pbf_fixture_path(spark, sf)
+    return read_pbf(spark, path, "ways").select(
+        F.col("id").alias("way_id"),
+        F.posexplode("node_ids").alias("seq", "node_id"),
+    )
+
+
 def _q_j11_contains_join(spark, sf):
     """J11: feature↔feature containment join — every (cafe node,
     area way) pair where the node lies inside the way's ring, computed
@@ -1512,6 +1646,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["j13_dwithin_join"] = _q_j13_dwithin_join
     q["f12_way_measures"] = _q_f12_way_measures
     q["j14_way_within"] = _q_j14_way_within
+    q["s1_pbf_nodes"] = _q_s1_pbf_nodes
+    q["s1_pbf_ways"] = _q_s1_pbf_ways
+    q["u_copy_tiles"] = _q_u_copy_tiles
+    q["s_install_archive"] = _q_s_install_archive
     return {k: q[k] for k in _registry_order(q)}
 
 
@@ -1535,6 +1673,8 @@ _DRIVER_PRIORITY = [
     "streaming_dedup_incremental", "a8_build_metrics", "a8_lineage_tiles",
     "j11_contains_join", "j12_relation_contains", "j13_dwithin_join",
     "f12_way_measures", "j14_way_within",
+    # -- new in round 4 (never sampled either) --
+    "s1_pbf_nodes", "s1_pbf_ways", "u_copy_tiles", "s_install_archive",
     # -- last stamped in round 2 (24) --
     "s8_osc_roundtrip", "f7_area_ways", "f8_closed_rings",
     "f9_geojson_cafes", "f10_precision", "knn_brute", "knn_rings",
@@ -2064,6 +2204,19 @@ def oracle_sql() -> dict[str, str]:
         "SELECT tile_id, n_rows "
         f"FROM ({o['s5_archive_manifest']})"
     )
+    # S1 PBF: the fixture encodes corpus nodes/ways through zlib +
+    # delta + zigzag + string table; the oracle derives the SAME
+    # integers straight from the base tables — round-trip equality
+    # certifies the whole codec chain
+    o["s1_pbf_nodes"] = f"""
+        SELECT id, CAST(lat100nd AS BIGINT) * 100 AS lat_nd,
+               CAST(lon100nd AS BIGINT) * 100 AS lon_nd, amenity
+        FROM ({sqlgen.nodes_select()}) WHERE id <= {_PBF_ID_CAP}
+    """
+    o["s1_pbf_ways"] = f"""
+        SELECT way_id, seq, node_id
+        FROM ({sqlgen.way_members_select()}) WHERE way_id <= {_PBF_ID_CAP}
+    """
     # J11: same exact-integer even-odd ray-cast, derived directly from
     # the base tables (bbox candidates instead of the engine's
     # tile-ladder join — a superset filter, identical final pairs)
@@ -2351,6 +2504,20 @@ def oracle_sql() -> dict[str, str]:
               WHERE tx0 <= {_BB[2]} AND tx0 + span - 1 >= {_BB[0]}
                 AND ty0 <= {_BB[3]} AND ty0 + span - 1 >= {_BB[1]})
             GROUP BY tile_id""")
+    # gol copy: target holds exactly tiles(_BB) ∪ tiles(_BB2), per-tile
+    # contents identical to the full store (kept + replaced + added)
+    o["u_copy_tiles"] = o["s5_archive_manifest"].replace(
+        "FROM ft GROUP BY tile_id",
+        f"""FROM ft WHERE tile_id IN (
+              SELECT tile_id FROM ({_spanarms})
+              WHERE (tx0 <= {_BB[2]} AND tx0 + span - 1 >= {_BB[0]}
+                AND ty0 <= {_BB[3]} AND ty0 + span - 1 >= {_BB[1]})
+                 OR (tx0 <= {_BB2[2]} AND tx0 + span - 1 >= {_BB2[0]}
+                AND ty0 <= {_BB2[3]} AND ty0 + span - 1 >= {_BB2[1]}))
+            GROUP BY tile_id""")
+    # gol install: the installed parts are byte-wise the published
+    # archive — same per-tile counts as the s5 manifest oracle
+    o["s_install_archive"] = o["s5_archive_manifest"]
     o["f4_hilbert"] = f"""
         WITH nodes AS ({sqlgen.nodes_select()}),
         cells AS (SELECT DISTINCT cell_col AS x, cell_row AS y FROM nodes),

@@ -202,3 +202,76 @@ def merge_archives(base: DataFrame, incoming: DataFrame) -> DataFrame:
     incoming_tiles = incoming.select("tile_id").distinct()
     kept = base.join(incoming_tiles, "tile_id", "left_anti")
     return kept.unionByName(incoming)
+
+
+def copy_tiles(
+    spark: SparkSession,
+    source: str,
+    target: str,
+    catalog: TileCatalog | None = None,
+    bbox: tuple[int, int, int, int] | None = None,
+    verify: bool = True,
+) -> dict:
+    """``gol copy <source-gol> <target-gol>`` analogue
+    (/root/reference/src/gol/CopyCommand.cpp:37-44 — tile transfer
+    between GOLs, with area options): load the source archive (local or
+    URL), optionally restrict to the tiles intersecting ``bbox`` (U3
+    semantics), and merge into the target archive — incoming tiles
+    replace target tiles wholesale, everything else is kept.
+
+    The merged archive is written to a sibling temp dir and swapped in
+    (Spark cannot overwrite a directory it is reading), so a crash
+    mid-copy leaves the original target intact.  Returns the new target
+    manifest."""
+    import shutil
+
+    src = load_tiles(spark, source, verify=verify)
+    if bbox is not None:
+        if catalog is None:
+            raise ValueError("bbox copy requires the tile catalog")
+        hit, _ = tiles_for_bbox(catalog, *bbox)
+        hit_df = spark.createDataFrame(
+            [(int(t),) for t in hit], "tile_id int")
+        src = src.join(F.broadcast(hit_df), "tile_id", "left_semi")
+    if os.path.exists(os.path.join(target, MANIFEST)):
+        base = load_tiles(spark, target, verify=verify)
+        merged = merge_archives(base, src)
+    else:
+        merged = src
+    tmp = target.rstrip("/") + ".copytmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    manifest = save_tiles(merged, catalog, tmp)
+    old = target.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(target):
+        os.rename(target, old)
+    os.rename(tmp, target)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    return manifest
+
+
+def install_archive(spark: SparkSession, url: str, dest: str,
+                    verify: bool = True) -> dict:
+    """``gol install`` analogue (reference dispatch table,
+    src/gol/GolTool.cpp:29-48): fetch a published archive into a local
+    directory, verify every per-tile checksum, and stamp an install
+    record (source URL + manifest) so later loads are purely local.
+    Idempotent — a re-install of the same content is a no-op beyond the
+    manifest comparison; a republished URL invalidates stale parts
+    (see :func:`_fetch_archive`)."""
+    rows = load_tiles(spark, url, verify=verify, cache_dir=dest)
+    with open(os.path.join(dest, MANIFEST)) as f:
+        manifest = json.load(f)
+    record = {
+        "source": url,
+        "tiles": len(manifest["tiles"]),
+        "rows": int(sum(t["rows"] for t in manifest["tiles"].values())),
+        "verified": bool(verify),
+    }
+    with open(os.path.join(dest, "installed.json"), "w") as f:
+        json.dump(record, f)
+    _ = rows  # the DataFrame is the caller's to use; install is I/O
+    return record

@@ -1,0 +1,440 @@
+"""Block-parallel OSM PBF source (S1: the reference's flagship input).
+
+The reference ingests ``.osm.pbf`` with a block-parallel reader
+(/root/reference/src/osm/OsmPbfReader.h:109-641): the driver thread
+walks the blob framing, worker threads inflate + decode blocks.  The
+Spark re-expression keeps exactly that split:
+
+* **blob index** (driver): one sequential pass over the file reading
+  ONLY the 4-byte length + BlobHeader of each blob (a few hundred bytes
+  per ~8 MB blob) yields ``(offset, size)`` rows — the work list.  On a
+  planet file this is ~10⁴ rows; the bytes themselves are never read
+  by the driver.
+* **decode** (executors): the index DataFrame fans out via
+  ``mapInPandas``; each task seeks into the file, inflates its blobs,
+  and decodes them into Arrow record batches.  All packed-varint
+  arrays (dense-node ids/lats/lons, way refs, relation memids) decode
+  through the vectorized numpy kernels in functions/varint.py plus
+  ``np.cumsum`` for the delta coding — the per-entity Python work is
+  only tag-dictionary assembly, exactly the split the reference makes
+  between readVarint loops and per-entity callbacks.
+
+The wire format implemented here is the published OSM PBF spec
+(fileformat.proto / osmformat.proto); no protobuf library is needed —
+blobs contain a handful of length-delimited fields around the packed
+arrays.
+
+Coordinates are emitted as exact nanodegree integers
+(``lat_offset + granularity·lat_units``); degree floats are a trailing
+``1e-9 *`` the caller can apply, so engine-vs-oracle comparison stays
+integer-exact.
+
+``write_pbf`` is the fixture twin: tests and the gate synthesize small
+.pbf files from the corpus (no OSM download in the sandbox) and verify
+the round trip.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.varint import (
+    decode_varints,
+    encode_varints,
+    zigzag_decode,
+    zigzag_encode,
+)
+
+# protobuf wire types
+_VARINT, _I64, _LEN, _I32 = 0, 1, 2, 5
+
+
+def _fields(buf: memoryview) -> Iterator[tuple[int, int, object]]:
+    """Iterate (field_no, wire_type, value) over one message.  Values:
+    int for varint/i32/i64, memoryview for length-delimited."""
+    i, n = 0, len(buf)
+    while i < n:
+        key = 0
+        shift = 0
+        while True:
+            b = buf[i]
+            i += 1
+            key |= (b & 0x7F) << shift
+            if b < 0x80:
+                break
+            shift += 7
+        fno, wt = key >> 3, key & 7
+        if wt == _VARINT:
+            v = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                v |= (b & 0x7F) << shift
+                if b < 0x80:
+                    break
+                shift += 7
+            yield fno, wt, v
+        elif wt == _LEN:
+            ln = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                ln |= (b & 0x7F) << shift
+                if b < 0x80:
+                    break
+                shift += 7
+            yield fno, wt, buf[i:i + ln]
+            i += ln
+        elif wt == _I64:
+            yield fno, wt, int.from_bytes(buf[i:i + 8], "little")
+            i += 8
+        elif wt == _I32:
+            yield fno, wt, int.from_bytes(buf[i:i + 4], "little")
+            i += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+
+
+def _packed_u64(v: memoryview) -> np.ndarray:
+    return decode_varints(np.frombuffer(v, dtype=np.uint8))
+
+
+def _packed_s64(v: memoryview) -> np.ndarray:
+    return zigzag_decode(_packed_u64(v))
+
+
+# ---------------------------------------------------------------------------
+# blob framing
+# ---------------------------------------------------------------------------
+
+def blob_index(path: str) -> pd.DataFrame:
+    """(seq, offset, size, kind): one row per blob.  Reads only the
+    framing bytes (4-byte big-endian header length + BlobHeader)."""
+    rows = []
+    with open(path, "rb") as f:
+        seq = 0
+        while True:
+            hdr_len_b = f.read(4)
+            if len(hdr_len_b) < 4:
+                break
+            hdr_len = int.from_bytes(hdr_len_b, "big")
+            hdr = memoryview(f.read(hdr_len))
+            kind, datasize = "", 0
+            for fno, _, v in _fields(hdr):
+                if fno == 1:
+                    kind = bytes(v).decode()
+                elif fno == 3:
+                    datasize = int(v)
+            offset = f.tell()
+            rows.append((seq, offset, datasize, kind))
+            f.seek(offset + datasize)
+            seq += 1
+    return pd.DataFrame(rows, columns=["seq", "offset", "size", "kind"])
+
+
+def _read_blob(path: str, offset: int, size: int) -> memoryview:
+    """Inflate one Blob message → the contained block bytes."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        raw = memoryview(f.read(size))
+    data = None
+    raw_bytes = None
+    for fno, _, v in _fields(raw):
+        if fno == 1:
+            raw_bytes = bytes(v)
+        elif fno == 3:
+            data = zlib.decompress(bytes(v))
+    return memoryview(data if data is not None else raw_bytes)
+
+
+# ---------------------------------------------------------------------------
+# PrimitiveBlock decode
+# ---------------------------------------------------------------------------
+
+def _decode_string_table(v: memoryview) -> list[str]:
+    return [bytes(s).decode("utf-8") for fno, _, s in _fields(v) if fno == 1]
+
+
+def _tags_from_kv(keys: np.ndarray, vals: np.ndarray,
+                  st: list[str]) -> dict:
+    return {st[k]: st[v] for k, v in zip(keys.tolist(), vals.tolist())}
+
+
+def _decode_dense(v: memoryview, st: list[str], gran: int,
+                  lat_off: int, lon_off: int) -> pd.DataFrame:
+    ids = lats = lons = None
+    kvs = np.zeros(0, dtype=np.int64)
+    for fno, _, fv in _fields(v):
+        if fno == 1:
+            ids = np.cumsum(_packed_s64(fv))
+        elif fno == 8:
+            lats = np.cumsum(_packed_s64(fv))
+        elif fno == 9:
+            lons = np.cumsum(_packed_s64(fv))
+        elif fno == 10:
+            kvs = _packed_u64(fv).astype(np.int64)
+    n = len(ids) if ids is not None else 0
+    # keys_vals: k,v pairs per node, 0-delimited; vectorized split via
+    # the delimiter positions, dict assembly per node with >0 tags only
+    tags: list[dict] = [{}] * n
+    if len(kvs):
+        tags = []
+        zeros = np.flatnonzero(kvs == 0)
+        start = 0
+        for z in zeros.tolist():
+            seg = kvs[start:z]
+            tags.append(_tags_from_kv(seg[0::2], seg[1::2], st)
+                        if len(seg) else {})
+            start = z + 1
+        tags.extend([{}] * (n - len(tags)))
+    return pd.DataFrame({
+        "id": ids if ids is not None else np.zeros(0, dtype=np.int64),
+        "lat_nd": (lats * gran + lat_off) if lats is not None else [],
+        "lon_nd": (lons * gran + lon_off) if lons is not None else [],
+        "tags": tags,
+    })
+
+
+def _decode_way(v: memoryview, st: list[str]) -> dict:
+    wid = 0
+    keys = vals = np.zeros(0, dtype=np.uint64)
+    refs = np.zeros(0, dtype=np.int64)
+    for fno, _, fv in _fields(v):
+        if fno == 1:
+            wid = int(fv)
+        elif fno == 2:
+            keys = _packed_u64(fv)
+        elif fno == 3:
+            vals = _packed_u64(fv)
+        elif fno == 8:
+            refs = np.cumsum(_packed_s64(fv))
+    return {"id": wid, "node_ids": refs.tolist(),
+            "tags": _tags_from_kv(keys, vals, st)}
+
+
+def _decode_relation(v: memoryview, st: list[str]) -> dict:
+    rid = 0
+    keys = vals = roles = types = np.zeros(0, dtype=np.uint64)
+    memids = np.zeros(0, dtype=np.int64)
+    for fno, _, fv in _fields(v):
+        if fno == 1:
+            rid = int(fv)
+        elif fno == 2:
+            keys = _packed_u64(fv)
+        elif fno == 3:
+            vals = _packed_u64(fv)
+        elif fno == 8:
+            roles = _packed_u64(fv)
+        elif fno == 9:
+            memids = np.cumsum(_packed_s64(fv))
+        elif fno == 10:
+            types = _packed_u64(fv)
+    members = [
+        {"t": int(t), "id": int(m), "role": st[int(r)]}
+        for t, m, r in zip(types.tolist(), memids.tolist(), roles.tolist())
+    ]
+    return {"id": rid, "members": members,
+            "tags": _tags_from_kv(keys, vals, st)}
+
+
+def decode_block(block: memoryview) -> dict[str, pd.DataFrame]:
+    """PrimitiveBlock → {'nodes': df, 'ways': df, 'relations': df}."""
+    st: list[str] = []
+    groups: list[memoryview] = []
+    gran, lat_off, lon_off = 100, 0, 0
+    for fno, _, v in _fields(block):
+        if fno == 1:
+            st = _decode_string_table(v)
+        elif fno == 2:
+            groups.append(v)
+        elif fno == 17:
+            gran = int(v)
+        elif fno == 19:
+            lat_off = int(v)
+        elif fno == 20:
+            lon_off = int(v)
+    nodes, ways, rels = [], [], []
+    for g in groups:
+        for fno, _, v in _fields(g):
+            if fno == 2:  # dense nodes
+                nodes.append(_decode_dense(v, st, gran, lat_off, lon_off))
+            elif fno == 3:
+                ways.append(_decode_way(v, st))
+            elif fno == 4:
+                rels.append(_decode_relation(v, st))
+    return {
+        "nodes": (pd.concat(nodes, ignore_index=True) if nodes
+                  else pd.DataFrame(columns=["id", "lat_nd", "lon_nd",
+                                             "tags"])),
+        "ways": pd.DataFrame(ways, columns=["id", "node_ids", "tags"]),
+        "relations": pd.DataFrame(rels, columns=["id", "members", "tags"]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Spark entry points
+# ---------------------------------------------------------------------------
+
+_NODE_SCHEMA = ("seq long, id long, lat_nd long, lon_nd long, "
+                "tags map<string,string>")
+_WAY_SCHEMA = ("seq long, id long, node_ids array<long>, "
+               "tags map<string,string>")
+_REL_SCHEMA = ("seq long, id long, "
+               "members array<struct<t:int,id:long,role:string>>, "
+               "tags map<string,string>")
+
+
+def _index_df(spark: SparkSession, path: str,
+              partitions: int | None = None) -> DataFrame:
+    idx = blob_index(path)
+    idx = idx[idx["kind"] == "OSMData"]
+    df = spark.createDataFrame(idx)
+    n = partitions or min(
+        max(1, len(idx)),
+        int(spark.conf.get("spark.sql.shuffle.partitions")))
+    return df.repartition(n, "seq")
+
+
+def read_pbf(spark: SparkSession, path: str, kind: str,
+             partitions: int | None = None) -> DataFrame:
+    """Decode one entity kind ('nodes' | 'ways' | 'relations') from a
+    .pbf file as a DataFrame.  ``seq`` (blob sequence number) rides
+    along so the file's deterministic entity order is reconstructable
+    downstream — the PBF twin of the span-sequence lineage the span
+    parser carries."""
+    schema = {"nodes": _NODE_SCHEMA, "ways": _WAY_SCHEMA,
+              "relations": _REL_SCHEMA}[kind]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for seq, offset, size in zip(b["seq"], b["offset"], b["size"]):
+                out = decode_block(
+                    _read_blob(path, int(offset), int(size)))[kind]
+                if len(out):
+                    out = out.copy()
+                    out.insert(0, "seq", int(seq))
+                    yield out
+
+    return _index_df(spark, path, partitions).mapInPandas(decode, schema)
+
+
+# ---------------------------------------------------------------------------
+# fixture writer (tests + gate; public spec, not a copy of any encoder)
+# ---------------------------------------------------------------------------
+
+def _msg(fno: int, payload: bytes) -> bytes:
+    return encode_varints([(fno << 3) | _LEN]) + encode_varints(
+        [len(payload)]) + payload
+
+
+def _vint(fno: int, v: int) -> bytes:
+    return encode_varints([(fno << 3) | _VARINT]) + encode_varints([v])
+
+
+def _blob(kind: str, block: bytes) -> bytes:
+    z = zlib.compress(block)
+    blob = _vint(2, len(block)) + _msg(3, z)
+    hdr = _msg(1, kind.encode()) + _vint(3, len(blob))
+    return len(hdr).to_bytes(4, "big") + hdr + blob
+
+
+class _StringTable:
+    def __init__(self):
+        self.strings = [""]  # index 0 reserved (delimiter)
+        self.idx = {"": 0}
+
+    def get(self, s: str) -> int:
+        if s not in self.idx:
+            self.idx[s] = len(self.strings)
+            self.strings.append(s)
+        return self.idx[s]
+
+    def encode(self) -> bytes:
+        return b"".join(_msg(1, s.encode("utf-8")) for s in self.strings)
+
+
+def _packed(fno: int, vals) -> bytes:
+    return _msg(fno, encode_varints(vals))
+
+
+def _packed_sint(fno: int, vals) -> bytes:
+    return _msg(fno, encode_varints(
+        zigzag_encode(np.asarray(list(vals), dtype=np.int64)).tolist()))
+
+
+def write_pbf(path: str, nodes=None, ways=None, relations=None,
+              block_size: int = 4000, granularity: int = 100) -> int:
+    """Write a .pbf from python rows.  nodes: (id, lat_nd, lon_nd,
+    tags); ways: (id, node_ids, tags); relations: (id, members, tags)
+    with members = [(t, id, role)].  Returns the blob count."""
+    nodes = list(nodes or [])
+    ways = list(ways or [])
+    relations = list(relations or [])
+    blobs = [_blob("OSMHeader",
+                   _msg(4, b"OsmSchema-V0.6") + _msg(4, b"DenseNodes"))]
+
+    def node_block(chunk) -> bytes:
+        st = _StringTable()
+        ids = [c[0] for c in chunk]
+        for c in chunk:
+            if c[1] % granularity or c[2] % granularity:
+                raise ValueError(
+                    f"coordinate ({c[1]}, {c[2]}) of node {c[0]} is not a "
+                    f"multiple of granularity {granularity} — the PBF "
+                    f"lattice cannot represent it")
+        lats = [c[1] // granularity for c in chunk]
+        lons = [c[2] // granularity for c in chunk]
+        kvs: list[int] = []
+        for c in chunk:
+            for k, v in (c[3] or {}).items():
+                kvs.extend((st.get(k), st.get(v)))
+            kvs.append(0)
+        dense = (_packed_sint(1, np.diff(ids, prepend=0))
+                 + _packed_sint(8, np.diff(lats, prepend=0))
+                 + _packed_sint(9, np.diff(lons, prepend=0))
+                 + _packed(10, kvs))
+        return (_msg(1, st.encode()) + _msg(2, _msg(2, dense))
+                + _vint(17, granularity))
+
+    def way_block(chunk) -> bytes:
+        st = _StringTable()
+        body = b""
+        for wid, refs, tags in chunk:
+            w = _vint(1, wid)
+            if tags:
+                w += _packed(2, [st.get(k) for k in tags])
+                w += _packed(3, [st.get(v) for v in tags.values()])
+            w += _packed_sint(8, np.diff(list(refs), prepend=0))
+            body += _msg(3, w)
+        return _msg(1, st.encode()) + _msg(2, body)
+
+    def rel_block(chunk) -> bytes:
+        st = _StringTable()
+        body = b""
+        for rid, members, tags in chunk:
+            r = _vint(1, rid)
+            if tags:
+                r += _packed(2, [st.get(k) for k in tags])
+                r += _packed(3, [st.get(v) for v in tags.values()])
+            r += _packed(8, [st.get(m[2]) for m in members])
+            r += _packed_sint(9, np.diff([m[1] for m in members],
+                                         prepend=0))
+            r += _packed(10, [m[0] for m in members])
+            body += _msg(4, r)
+        return _msg(1, st.encode()) + _msg(2, body)
+
+    for maker, rows in ((node_block, nodes), (way_block, ways),
+                        (rel_block, relations)):
+        for i in range(0, len(rows), block_size):
+            blobs.append(_blob("OSMData", maker(rows[i:i + block_size])))
+    with open(path, "wb") as f:
+        for b in blobs:
+            f.write(b)
+    return len(blobs)

@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from geodesk_gol_spark.operators.archive import (
     ArchiveChecksumError,
+    copy_tiles,
+    install_archive,
     load_tiles,
     merge_archives,
     save_tiles,
@@ -226,3 +228,62 @@ def test_format_brief_geojson_and_aliases(spark):
         a = sorted(r[0] for r in format_result(nodes, alias).collect())
         c = sorted(r[0] for r in format_result(nodes, canon).collect())
         assert a == c
+
+
+def test_copy_tiles_merges_and_swaps_atomically(spark, built, tmp_path):
+    """gol copy analogue: seed the target with a bbox subset, copy a
+    different (overlapping) bbox from the full archive — the target
+    ends with the tile union, full-store contents, no leftover temp."""
+    import os
+
+    res, store = built
+    src = str(tmp_path / "copy_src")
+    save_tiles(store, res.catalog, src)
+    bb1 = (1115000000, 630000000, 1126000000, 648000000)
+    bb2 = (1120000000, 642000000, 1132000000, 654000000)
+    tgt = str(tmp_path / "copy_tgt")
+    m1 = save_tiles(store, res.catalog, tgt, bbox=bb1)
+    m2 = copy_tiles(spark, src, tgt, catalog=res.catalog, bbox=bb2)
+    from geodesk_gol_spark.query.spatial import tiles_for_bbox
+
+    want = set(tiles_for_bbox(res.catalog, *bb1)[0]) | set(
+        tiles_for_bbox(res.catalog, *bb2)[0])
+    have_store = {int(r["tile_id"]) for r in
+                  store.select("tile_id").distinct().collect()}
+    assert set(m2["tiles"]) == want & have_store
+    assert set(m1["tiles"]) <= set(m2["tiles"])
+    back = load_tiles(spark, tgt, verify=True)
+    # per-tile contents equal the full store's for every copied tile
+    a = back.drop("tags")
+    b = store.drop("tags").join(
+        back.select("tile_id").distinct(), "tile_id", "left_semi")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert not os.path.exists(tgt + ".copytmp")
+    assert not os.path.exists(tgt + ".old")
+
+
+def test_copy_tiles_into_empty_target(spark, built, tmp_path):
+    res, store = built
+    src = str(tmp_path / "cs")
+    save_tiles(store, res.catalog, src)
+    tgt = str(tmp_path / "ct")
+    m = copy_tiles(spark, src, tgt)
+    back = load_tiles(spark, tgt, verify=True)
+    assert back.count() == store.count()
+    assert len(m["tiles"]) == len(res.catalog.tiles)
+
+
+def test_install_archive_fetches_and_stamps(spark, built, tmp_path):
+    import json as _json
+
+    res, store = built
+    src = str(tmp_path / "pub")
+    save_tiles(store, res.catalog, src)
+    dest = str(tmp_path / "inst")
+    rec = install_archive(spark, f"file://{src}", dest)
+    assert rec["verified"] and rec["rows"] == store.count()
+    stamped = _json.load(open(f"{dest}/installed.json"))
+    assert stamped["source"].startswith("file://")
+    # installed parts are locally loadable with checksums intact
+    back = load_tiles(spark, dest, verify=True)
+    assert back.count() == store.count()
