@@ -285,6 +285,20 @@ def one_run(master: str, sf_dir: str, shuffle_partitions: int, replicate: int = 
                               os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
                       })
     try:
+        if os.environ.get("SPARK_GRAFT_WARMUP") == "1":
+            # untimed warm-up pass on a small input BEFORE the measured
+            # region: every executor JVM JITs the same code paths, forks
+            # its python daemons, and opens its shuffle files once.  A
+            # 1-executor baseline amortizes ONE JVM's warm-up over the
+            # whole measured run while 4 executors pay 4× inside less
+            # wall time — an asymmetry no steady-state cluster has
+            # (round-3 event-log autopsy); measuring warm means both
+            # levels measure steady state.
+            warm_sf = os.environ.get("SPARK_GRAFT_WARMUP_SF",
+                                     "/root/testdata/sf0.01")
+            warm_dir = f"{out_dir}_warm"
+            run_pipeline(spark, warm_sf, warm_dir, 1, True)
+            shutil.rmtree(warm_dir, ignore_errors=True)
         t_all0 = time.time()
         t = run_pipeline(spark, sf_dir, out_dir, replicate, build_only,
                          docs_path=docs_path)

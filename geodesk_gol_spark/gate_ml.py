@@ -1503,6 +1503,26 @@ def _q_pack_sequences_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _df_query(fn_name: str, table: str = "documents"):
+    """Engine wrapper for a single-table DataFrame program in
+    operators/mldf.py — the de-shared twin of ``_sql_query``."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators import mldf
+
+        return getattr(mldf, fn_name)(
+            spark.read.parquet(f"{sf_dir}/{table}.parquet"))
+
+    return run
+
+
+def _q_ann_lsh_buckets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import mldf
+
+    vecs = _plane_vectors(spark, sf_dir, 8, 100)
+    return mldf.lsh_buckets(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), vecs)
+
+
 def _sql_query_planes(template, table: str, base: int = 100,
                       kw: str = "planes"):
     """Like _sql_query but collects 8 designated vectors (LSH planes at
@@ -1736,26 +1756,26 @@ def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "dedup_exact": _sql_query(sql_dedup_exact, "documents"),
+        "dedup_exact": _df_query("dedup_exact"),
         "dedup_ngram_jaccard": _sql_query(sql_dedup_ngram_jaccard, "documents"),
         "dedup_minhash_lsh": _q_dedup_minhash_df,
         "dedup_simhash": _sql_query(sql_dedup_simhash, "documents"),
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_embed_cosine": _q_dedup_embed_cosine,
-        "sample_stratified": _sql_query(sql_sample_stratified, "documents"),
+        "sample_stratified": _df_query("sample_stratified"),
         "sample_temperature": _q_sample_temperature,
         "text_decontaminate": _sql_query(sql_text_decontaminate, "documents"),
         "text_repetition": _sql_query(sql_text_repetition, "documents"),
         "text_chunks": _sql_query(sql_text_chunks, "documents"),
         "pack_sequences": _q_pack_sequences_df,
-        "text_langid": _sql_query(sql_text_langid, "documents"),
+        "text_langid": _df_query("text_langid"),
         "text_quality": _q_text_quality_df,
-        "text_tokens_by_lang": _sql_query(sql_text_tokens_by_lang, "documents"),
-        "text_fingerprint": _sql_query(sql_text_fingerprint, "documents"),
-        "ann_cosine_topk": _sql_query(sql_ann_cosine_topk, "embeddings"),
-        "ann_lsh_buckets": _sql_query_planes(sql_ann_lsh_buckets, "embeddings"),
+        "text_tokens_by_lang": _df_query("text_tokens_by_lang"),
+        "text_fingerprint": _df_query("text_fingerprint"),
+        "ann_cosine_topk": _df_query("ann_cosine_topk", "embeddings"),
+        "ann_lsh_buckets": _q_ann_lsh_buckets_df,
         "ann_lsh_topk": _q_ann_lsh_topk,
-        "text_tokens_bpe": _sql_query(sql_text_tokens_bpe, "documents"),
+        "text_tokens_bpe": _df_query("text_tokens_bpe"),
         "text_pii_scrub": _sql_query(sql_text_pii_scrub, "documents"),
         "media_decode_stub": _q_media_decode,
         "media_resize_stub": _q_media_resize,

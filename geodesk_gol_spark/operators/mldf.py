@@ -350,3 +350,111 @@ def ann_lsh_topk(emb: DataFrame, planes: list[list[float]],
         .select("q_id", "neighbor_id", "rank")
         .unionByName(fb.filter(F.col("rank") <= k))
     )
+
+
+# ---------------------------------------------------------------------------
+# second wave (r04): the remaining high-traffic family members, same
+# de-sharing rationale — DataFrame engine programs, SQL stays oracle-only
+# ---------------------------------------------------------------------------
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """(grp, n_docs, min_doc): exact near-head dedup — md5 of the first
+    40 chars groups byte-identical prefixes; one hash groupBy."""
+    return (
+        docs.select(F.md5(F.substring("text", 1, 40)).alias("grp"),
+                    "doc_id")
+        .groupBy("grp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def text_langid(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, lang_pred): n-gram-heuristic language id —
+    pure per-row map."""
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    pred = (
+        F.when(padded.contains(" the "), "en")
+        .when(padded.contains(" data "), "datalang")
+        .when(padded.contains(" spark "), "sparklang")
+        .otherwise("other")
+    )
+    return docs.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+def text_tokens_by_lang(docs: DataFrame) -> DataFrame:
+    """(lang, n_docs, total_tokens, max_tokens) — one shuffle keyed by
+    the (low-cardinality) language; partial aggregation map-side."""
+    n = F.size(F.split(F.col("text"), " "))
+    return (
+        docs.select("lang", n.alias("n"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n").cast("long").alias("total_tokens"),
+             F.max("n").alias("max_tokens"))
+    )
+
+
+def text_tokens_bpe(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens_ws, n_tokens_bpe): whitespace count next to a
+    GPT-2-flavor pre-tokenizer regex count (letter runs, single digits,
+    single punctuation) — per-row, codegen'd regexp_count."""
+    ws = F.size(F.split(F.col("text"), " ")).cast("long")
+    pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+    return docs.select(
+        "doc_id", ws.alias("n_tokens_ws"),
+        F.regexp_count("text", F.lit(pat)).cast("long")
+        .alias("n_tokens_bpe"),
+    )
+
+
+def text_fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint): order-sensitive rolling hash —
+    ((acc·31 + code) mod 1e9+7) folded over per-word codes
+    (len·31 + first char), all inside one aggregate expression."""
+    ws = F.split(F.col("text"), " ")
+    codes = F.transform(
+        ws, lambda w: (F.length(w) * 31
+                       + F.ascii(F.substring(w, 1, 1))).cast("long"))
+    fp = F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 1000000007)
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+def sample_stratified(docs: DataFrame, per_stratum: int = 40) -> DataFrame:
+    """(lang, doc_id, n_chars): deterministic top-N per language
+    stratum ordered by a salted md5 keyed permutation.  Spark plans the
+    rank filter as WindowGroupLimit: per-partition partial top-N, one
+    merge — hot strata never gather unsampled rows."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("smp:"), F.col("doc_id").cast("string"))),
+        "doc_id")
+    return (
+        docs.select("lang", "doc_id", "n_chars",
+                    F.row_number().over(w).cast("int").alias("rk"))
+        .filter(F.col("rk") <= per_stratum)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+def ann_cosine_topk(emb: DataFrame, k: int = 5, n_q: int = 4) -> DataFrame:
+    """(q_id, neighbor_id, rank): exact brute-force cosine top-k — the
+    declared-cartesian baseline the bucketed paths are verified
+    against.  Query side broadcast (n_q rows); candidate side scans
+    once."""
+    q = emb.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "q_id", F.col("vec_id").alias("neighbor_id"),
+        (_dot_cols(F.col("embedding"), F.col("q_emb"))
+         / F.sqrt(_dot_cols(F.col("embedding"), F.col("embedding"))))
+        .alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.select("q_id", "neighbor_id",
+                      F.row_number().over(w).cast("int").alias("rank"))
+        .filter(F.col("rank") <= k)
+    )

@@ -110,3 +110,45 @@ def test_dedup_minhash_df_finds_planted_near_dup(spark):
     )
     got = mldf.dedup_minhash(docs).toPandas()
     assert [(r.doc_a, r.doc_b) for r in got.itertuples()] == [(1, 2)]
+
+
+# --- second wave: remaining family members converted to DF programs ---
+
+def test_second_wave_df_matches_templates(spark):
+    """Each converted program == its (now oracle-only) SQL template run
+    by Spark itself — two formulations, same rows."""
+    cases = [
+        ("dedup_exact", gate_ml.sql_dedup_exact, "documents"),
+        ("text_langid", gate_ml.sql_text_langid, "documents"),
+        ("text_tokens_by_lang", gate_ml.sql_text_tokens_by_lang,
+         "documents"),
+        ("text_tokens_bpe", gate_ml.sql_text_tokens_bpe, "documents"),
+        ("text_fingerprint", gate_ml.sql_text_fingerprint, "documents"),
+        ("sample_stratified", gate_ml.sql_sample_stratified, "documents"),
+        ("ann_cosine_topk", gate_ml.sql_ann_cosine_topk, "embeddings"),
+    ]
+    for fn_name, template, table in cases:
+        tbl = spark.read.parquet(f"{SF}/{table}.parquet")
+        got = _norm(getattr(mldf, fn_name)(tbl))
+        want = _norm(_tpl(spark, template, table=table))
+        pd.testing.assert_frame_equal(got, want, obj=fn_name)
+        assert len(got) > 0, fn_name
+
+
+def test_lsh_buckets_df_matches_template(spark):
+    planes = gate_ml._plane_vectors(spark, SF, 8, 100)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = _norm(mldf.lsh_buckets(emb, planes))
+    want = _norm(_tpl(spark, gate_ml.sql_ann_lsh_buckets,
+                      table="embeddings", planes=planes))
+    pd.testing.assert_frame_equal(got, want)
+    assert got["bucket"].between(0, 255).all()
+
+
+def test_sample_stratified_is_per_stratum_topn(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = mldf.sample_stratified(docs, per_stratum=7).toPandas()
+    per = got.groupby("lang").size()
+    avail = docs.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    for lang, n in per.items():
+        assert n == min(7, int(avail[lang]))
