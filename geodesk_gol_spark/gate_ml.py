@@ -1116,13 +1116,11 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     if key in _COMPONENTS_CACHE:
         return _COMPONENTS_CACHE[key]
-    v = _view(spark, sf_dir, "documents")
-    sh = _materialized_view(
-        spark, f"{sf_dir}:simhash48",
-        lambda: spark.sql(sql_dedup_simhash(v, "spark", 48)))
-    pairs = spark.sql(sql_dedup_simhash_pairs(v, "spark", sh_src=sh)).select(
-        "doc_a", "doc_b"
-    )
+    from .operators import mldf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sim = spark.table(_simhash_view(spark, sf_dir))
+    pairs = mldf.dedup_simhash_pairs(docs, sim=sim).select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))
@@ -1209,12 +1207,14 @@ def _q_corpus_dedup_filtered(spark: SparkSession, sf_dir: str,
     operator; the composition is one anti-join — at corpus scale the
     loser set is the small side (only docs inside dup clusters) and
     broadcasts."""
-    v = _view(spark, sf_dir, "documents")
+    from .operators import mldf
+
     comp = _q_dedup_components(spark, sf_dir)
     losers = comp.filter(F.col("doc_id") != F.col("component")).select(
         "doc_id"
     )
-    q = spark.sql(sql_text_quality(v, "spark"))
+    q = mldf.text_quality(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
     keep = q.filter(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("stop_ratio_milli") <= max_stop_milli)
@@ -1416,38 +1416,58 @@ def _materialized_view(spark: SparkSession, key: str,
 
 
 def _q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _view(spark, sf_dir, "documents")
+    from .operators import mldf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # the pushable literal rank cap must dominate every per-source quota,
     # so it is derived from the SAME scale constant the quota uses
-    cap = spark.sql(
-        f"SELECT CAST(greatest(1, floor({TEMPERATURE_SCALE} * sqrt(max(n))))"
-        f" AS BIGINT) AS c "
-        f"FROM (SELECT count(*) AS n FROM {v} GROUP BY source)"
-    ).collect()[0]["c"]
-    return spark.sql(sql_sample_temperature(v, "spark", cap=int(cap)))
+    cap = (
+        docs.groupBy("source").count()
+        .agg(F.greatest(
+            F.lit(1),
+            F.floor(TEMPERATURE_SCALE * F.sqrt(F.max("count"))))
+            .cast("long").alias("c"))
+        .collect()[0]["c"]
+    )
+    return mldf.sample_temperature(docs, cap=int(cap))
+
+
+def _simhash_view(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized 48-bit simhash table (DataFrame program) shared by
+    the pair generator, the components loop, and the corpus filter."""
+    from .operators import mldf
+
+    return _materialized_view(
+        spark, f"{sf_dir}:simhash48df",
+        lambda: mldf.dedup_simhash(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), 48))
 
 
 def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _view(spark, sf_dir, "documents")
-    sh = _materialized_view(
-        spark, f"{sf_dir}:simhash48",
-        lambda: spark.sql(sql_dedup_simhash(v, "spark", 48)))
-    return spark.sql(sql_dedup_simhash_pairs(v, "spark", sh_src=sh))
+    from .operators import mldf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sim = spark.table(_simhash_view(spark, sf_dir))
+    return mldf.dedup_simhash_pairs(docs, sim=sim)
 
 
 def _lsh_bucket_view(spark: SparkSession, sf_dir: str) -> str:
+    from .operators import mldf
+
     vecs = _plane_vectors(spark, sf_dir, 8, 100)
-    v = _view(spark, sf_dir, "embeddings")
     return _materialized_view(
-        spark, f"{sf_dir}:lsh_buckets",
-        lambda: spark.sql(sql_ann_lsh_buckets(v, "spark", planes=vecs)))
+        spark, f"{sf_dir}:lsh_bucketsdf",
+        lambda: mldf.lsh_buckets(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), vecs))
 
 
 def _q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import mldf
+
     vecs = _plane_vectors(spark, sf_dir, 8, 100)
-    v = _view(spark, sf_dir, "embeddings")
-    return spark.sql(sql_dedup_embed_cosine(
-        v, "spark", planes=vecs, eb_src=_lsh_bucket_view(spark, sf_dir)))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    buckets = spark.table(_lsh_bucket_view(spark, sf_dir))
+    return mldf.dedup_embed_cosine(emb, vecs, buckets=buckets)
 
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1521,6 +1541,42 @@ def _q_ann_lsh_buckets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _plane_vectors(spark, sf_dir, 8, 100)
     return mldf.lsh_buckets(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"), vecs)
+
+
+def _q_dedup_ngram_jaccard_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import mldf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh2 = spark.table(_capped_shingle_view(spark, sf_dir))
+    return mldf.dedup_ngram_jaccard(docs, sh2=sh2)
+
+
+def _df_query_cents(fn_name: str):
+    """Engine wrapper for the IVF/k-means DataFrame programs: collects
+    the 8-centroid codebook (vec_id 200..207) once and passes it as
+    literal doubles."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators import mldf
+
+        cents = _plane_vectors(spark, sf_dir, 8, 200)
+        return getattr(mldf, fn_name)(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), cents)
+
+    return run
+
+
+def _q_change_merge_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import mldf
+
+    return mldf.change_merge(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_window_agg_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import mldf
+
+    return mldf.window_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _sql_query_planes(template, table: str, base: int = 100,
@@ -1757,16 +1813,16 @@ def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": _df_query("dedup_exact"),
-        "dedup_ngram_jaccard": _sql_query(sql_dedup_ngram_jaccard, "documents"),
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard_df,
         "dedup_minhash_lsh": _q_dedup_minhash_df,
-        "dedup_simhash": _sql_query(sql_dedup_simhash, "documents"),
+        "dedup_simhash": _df_query("dedup_simhash"),
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_embed_cosine": _q_dedup_embed_cosine,
         "sample_stratified": _df_query("sample_stratified"),
         "sample_temperature": _q_sample_temperature,
-        "text_decontaminate": _sql_query(sql_text_decontaminate, "documents"),
-        "text_repetition": _sql_query(sql_text_repetition, "documents"),
-        "text_chunks": _sql_query(sql_text_chunks, "documents"),
+        "text_decontaminate": _df_query("text_decontaminate"),
+        "text_repetition": _df_query("text_repetition"),
+        "text_chunks": _df_query("text_chunks"),
         "pack_sequences": _q_pack_sequences_df,
         "text_langid": _df_query("text_langid"),
         "text_quality": _q_text_quality_df,
@@ -1776,30 +1832,21 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": _q_ann_lsh_buckets_df,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "text_tokens_bpe": _df_query("text_tokens_bpe"),
-        "text_pii_scrub": _sql_query(sql_text_pii_scrub, "documents"),
+        "text_pii_scrub": _df_query("text_pii_scrub"),
         "media_decode_stub": _q_media_decode,
         "media_resize_stub": _q_media_resize,
         "media_frame_sample": _q_media_frames,
-        "s8_change_merge": lambda spark, sf: spark.sql(
-            sql_change_merge(_view(spark, sf, "events"), _view(spark, sf, "lineitem"),
-                             "spark")
-        ),
-        "streaming_window_agg": lambda spark, sf: spark.sql(
-            sql_window_agg(_view(spark, sf, "events"), "spark")
-        ),
+        "s8_change_merge": _q_change_merge_df,
+        "streaming_window_agg": _q_window_agg_df,
         "events_sessionize": _q_events_sessionize,
         # the slowest gate queries run LAST: if a driver time budget
         # truncates the sweep (round-2 failure mode), it drops these —
         # never previously-green rows
         "dedup_components": _q_dedup_components,
         "corpus_dedup_filtered": _q_corpus_dedup_filtered,
-        "ann_ivf_assign": _sql_query_planes(sql_ann_ivf_assign, "embeddings",
-                                            base=200, kw="cents"),
-        "ann_ivf_topk": _sql_query_planes(sql_ann_ivf_topk, "embeddings",
-                                          base=200, kw="cents"),
-        "ann_kmeans_iter": _sql_query_planes(sql_ann_kmeans_iter,
-                                             "embeddings", base=200,
-                                             kw="cents"),
+        "ann_ivf_assign": _df_query_cents("ann_ivf_assign"),
+        "ann_ivf_topk": _df_query_cents("ann_ivf_topk"),
+        "ann_kmeans_iter": _df_query_cents("ann_kmeans_iter"),
         "dedup_incremental": _q_dedup_incremental_df,
         "ann_kmeans_lloyd": _q_ann_kmeans_lloyd,
         "streaming_dedup_incremental": _q_streaming_dedup,

@@ -2,11 +2,11 @@
 
 Round-3 review finding: ~30 ML gate entries executed ``spark.sql()`` on
 the SAME template text as their DuckDB oracle (dialect-translated), so
-a logic bug in the template would pass both engines identically.  These
-are independently written DataFrame programs for the five family heads
-(minhash dedup, incremental dedup, LSH ANN top-k, text quality,
-sequence packing); the SQL templates in :mod:`..gate_ml` remain the
-oracle side only.
+a logic bug in the template would pass both engines identically.  As of
+round 4 EVERY entry in ``gate_ml.ml_queries()`` runs one of these
+independently written DataFrame programs (or a custom iterative /
+streaming / mapInPandas engine path); the SQL templates in
+:mod:`..gate_ml` remain the oracle side only.
 
 Every comparison-relevant value is integer-exact or a single correctly
 rounded IEEE op evaluated in the same association order as the oracle
@@ -457,4 +457,461 @@ def ann_cosine_topk(emb: DataFrame, k: int = 5, n_q: int = 4) -> DataFrame:
         scored.select("q_id", "neighbor_id",
                       F.row_number().over(w).cast("int").alias("rank"))
         .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# third wave (r04): remaining shared-template entries become independent
+# DataFrame programs; after this only the tiny view-composition wrappers
+# (simhash_pairs composition, embed_cosine, temperature) share any text
+# ---------------------------------------------------------------------------
+
+def dedup_ngram_jaccard(docs: DataFrame, cap: int = 50,
+                        sh2: DataFrame | None = None) -> DataFrame:
+    """(doc_a, doc_b, n_common, n_a, n_b): exact n-gram Jaccard ≥ 0.5
+    pairs.  Pair generation happens only inside capped shingle buckets
+    (document frequency ≤ ``cap``), so the worst fan-out per shingle is
+    cap² — the same bound that makes the MinHash verifier scale."""
+    if sh2 is None:
+        sh2 = capped_shingles(docs, 3, cap)
+    sizes = sh2.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs = (
+        sh2.select(F.col("doc_id").alias("doc_a"), "sh")
+        .join(sh2.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        pairs
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n").alias("n_b")), "doc_b")
+        .filter(F.col("n_common") * 2
+                >= F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+    )
+
+
+def dedup_simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash): per-document SimHash over distinct words.
+    Bit b of the hash is set when the ±1 majority vote of the words'
+    48-bit hashes' bit b is positive.  One explode + one groupBy with
+    ``bits`` conditional-sum aggregates — all map-side combinable.
+    Bit extraction is shiftright/&1 (the oracle floor-divides through
+    DOUBLE; values are < 2^48 < 2^53, so both are exact)."""
+    words = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w"))
+    wh = words.select("doc_id", _h48(F.col("w")).alias("h"))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1)
+              .otherwise(-1)).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = wh.groupBy("doc_id").agg(*votes)
+    sim = reduce(
+        lambda a, b: a + b,
+        [F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long"))
+         .otherwise(F.lit(0).cast("long")) for b in range(bits)],
+    )
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def text_decontaminate(docs: DataFrame, k: int = 5, mod: int = 41,
+                       res: int = 7) -> DataFrame:
+    """(doc_id, n_hits, n_bench_docs): flag corpus docs sharing any
+    k-gram with the held-out benchmark slice (doc_id % mod = res).
+    The benchmark-gram side is broadcast — the corpus side never
+    self-joins, so cost is one corpus scan + a broadcast hash join."""
+    corpus = docs.filter(F.col("doc_id") % mod != res)
+    bench = docs.filter(F.col("doc_id") % mod == res)
+    cg = doc_shingles(corpus, k)
+    bg = doc_shingles(bench, k).select(F.col("doc_id").alias("b_id"), "sh")
+    return (
+        cg.join(F.broadcast(bg), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"),
+             F.countDistinct("b_id").cast("long").alias("n_bench_docs"))
+    )
+
+
+def text_repetition(docs: DataFrame) -> DataFrame:
+    """(doc_id, top_bigram_milli, dup_bigram_milli): Gopher-style
+    repetition signals as integer milli-fractions.  Two keyed
+    aggregations, no join, no corpus-wide window."""
+    # bigram counts must keep duplicates — doc_shingles dedups, so
+    # the (doc_id, bigram) explode is built inline
+    ws = F.split(F.col("text"), " ")
+    bg = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, 2)),
+                )
+            ).alias("sh"),
+        )
+    )
+    cnt = bg.groupBy("doc_id", "sh").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").cast("long").alias("total"),
+        F.count("*").alias("n_distinct"),
+    )
+    return agg.select(
+        "doc_id",
+        F.floor(F.col("top_c") * 1000 / F.col("total"))
+        .cast("long").alias("top_bigram_milli"),
+        F.floor((F.col("total") - F.col("n_distinct")) * 1000
+                / F.col("total")).cast("long").alias("dup_bigram_milli"),
+    )
+
+
+def text_chunks(docs: DataFrame, win: int = 64, step: int = 48) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_len, chunk_hash): sliding-window
+    chunking with a per-chunk rolling hash.  Pure per-row explode —
+    embarrassingly parallel, zero shuffle."""
+    ws = F.split(F.col("text"), " ")
+    base = (
+        docs.select("doc_id", ws.alias("ws"), F.size(ws).alias("n"))
+        .filter(F.col("n") >= 1)
+    )
+    idx = F.explode(
+        F.sequence(F.lit(0), F.floor((F.col("n") - 1) / step).cast("int"))
+    ).alias("i")
+    chunk = F.slice(F.col("ws"), F.col("i") * step + 1, F.lit(win))
+    codes = F.transform(
+        chunk,
+        lambda w: (F.length(w) * 31
+                   + F.ascii(F.substring(w, 1, 1))).cast("long"))
+    rolled = F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 1000000007)
+    return (
+        base.select("doc_id", "ws", "n", idx)
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("chunk_idx"),
+            F.least(F.lit(win), F.col("n") - F.col("i") * step)
+            .cast("int").alias("chunk_len"),
+            rolled.alias("chunk_hash"),
+        )
+    )
+
+
+def text_pii_scrub(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_longnums, redacted_fp): count + redact
+    email-shaped tokens and ≥6-digit runs over the PII-augmented text,
+    then fingerprint the redacted text (proving the replacement, not
+    just the counts).  Pure per-row regex — whole-stage codegen."""
+    email, num = "[A-Za-z0-9_.]+@[A-Za-z0-9.]+", "[0-9]{6,}"
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com ref "),
+        (F.col("n_chars") * 1234567).cast("string"))
+    red = F.regexp_replace(
+        F.regexp_replace(aug, email, "<EMAIL>"), num, "<NUM>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(email)).cast("long").alias("n_emails"),
+        F.regexp_count(aug, F.lit(num)).cast("long").alias("n_longnums"),
+        _h48(red).alias("redacted_fp"),
+    )
+
+
+# --- IVF / k-means family -------------------------------------------------
+
+def _ivf_score_cols(cents: list[list[float]]) -> list[F.Column]:
+    """score_j = ||c_j||² − 2·e·c_j (monotone in L2 distance; ||e||²
+    cancels inside argmin).  ||c_j||² is folded in Python with the same
+    left-to-right order as the oracle's literal, and the dot product is
+    the same left-associated chain — bit-identical doubles."""
+    out = []
+    for c in cents:
+        acc = 0.0
+        for v in c:
+            acc = acc + v * v
+        out.append(F.lit(acc) - 2 * _dot_lit_cols(F.col("embedding"), c))
+    return out
+
+
+def ann_ivf_assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(vec_id, centroid): IVF coarse quantization — nearest of the
+    broadcast-literal codebook, ties to the lowest centroid id.  A
+    narrow map over the corpus; the assignment is the partitioning key
+    of the inverted lists downstream."""
+    scores = _ivf_score_cols(cents)
+    scored = emb.select(
+        "vec_id", *[s.alias(f"s{j}") for j, s in enumerate(scores)])
+    best = F.least(*[F.col(f"s{j}") for j in range(len(cents))])
+    pick = F.lit(None).cast("int")
+    for j in range(len(cents) - 1, -1, -1):
+        pick = F.when(F.col(f"s{j}") == best, j).otherwise(pick)
+    return scored.select("vec_id", pick.cast("int").alias("centroid"))
+
+
+def ann_kmeans_iter(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(centroid, dim, n, sum_milli): one distributed Lloyd step over
+    the IVF assignment.  Components are floored to milli-units BEFORE
+    summing, so the aggregation is exact integer arithmetic under any
+    partial-aggregation order.  posexplode keeps the dim fan-out inside
+    one narrow stage."""
+    asn = ann_ivf_assign(emb, cents)
+    x = (
+        emb.join(asn, "vec_id")
+        .select("centroid", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "centroid",
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            F.floor(F.col("val").cast("double") * 1000)
+            .cast("long").alias("v"),
+        )
+    )
+    return x.groupBy("centroid", "dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sum_milli"),
+    )
+
+
+def _rerank_with_fallback(cand: DataFrame, emb: DataFrame, q: DataFrame,
+                          k: int) -> DataFrame:
+    """Shared ANN tail: exact cosine re-rank inside candidate sets,
+    brute fallback ONLY for queries whose candidates hold < k vectors.
+    ``cand``: (q_id, neighbor_id); ``q``: (q_id, q_emb)."""
+    e_all = emb.select("vec_id", "embedding")
+    scored = (
+        cand
+        .join(e_all.select(F.col("vec_id").alias("neighbor_id"),
+                           "embedding"), "neighbor_id")
+        .join(q, "q_id")
+        .select(
+            "q_id", "neighbor_id",
+            (_dot_cols(F.col("embedding"), F.col("q_emb"))
+             / F.sqrt(_dot_cols(F.col("embedding"), F.col("embedding"))))
+            .alias("score"),
+        )
+    )
+    wrank = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    ranked = scored.select(
+        "q_id", "neighbor_id",
+        F.row_number().over(wrank).cast("int").alias("rank"),
+        F.count("*").over(Window.partitionBy("q_id")).alias("ncand"),
+    )
+    ok = ranked.filter(F.col("ncand") >= k).select("q_id").distinct()
+    sparse = q.join(ok, "q_id", "left_anti")
+    fb = (
+        e_all.crossJoin(sparse)
+        .select(
+            "q_id", F.col("vec_id").alias("neighbor_id"),
+            (_dot_cols(F.col("embedding"), F.col("q_emb"))
+             / F.sqrt(_dot_cols(F.col("embedding"), F.col("embedding"))))
+            .alias("score"),
+        )
+        .select("q_id", "neighbor_id",
+                F.row_number().over(wrank).cast("int").alias("rank"))
+    )
+    return (
+        ranked.filter((F.col("rank") <= k) & (F.col("ncand") >= k))
+        .select("q_id", "neighbor_id", "rank")
+        .unionByName(fb.filter(F.col("rank") <= k))
+    )
+
+
+def ann_ivf_topk(emb: DataFrame, cents: list[list[float]], k: int = 5,
+                 n_q: int = 4, nprobe: int = 2) -> DataFrame:
+    """(q_id, neighbor_id, rank): ANN top-k through the IVF lists —
+    probe the ``nprobe`` nearest centroids per query, exact cosine
+    re-rank inside the probed lists, brute fallback only where probes
+    hold < k vectors.  Assignment and query probing share ONE ranked
+    (vec_id, centroid, s) frame, so the scores compute once."""
+    n_cent = len(cents)
+    scored = emb.select(
+        "vec_id",
+        *[s.alias(f"s{j}") for j, s in enumerate(_ivf_score_cols(cents))])
+    unpiv = reduce(
+        lambda a, b: a.unionByName(b),
+        [scored.select("vec_id", F.lit(j).alias("centroid"),
+                       F.col(f"s{j}").alias("s")) for j in range(n_cent)],
+    )
+    wcent = Window.partitionBy("vec_id").orderBy("s", "centroid")
+    cent_rank = unpiv.select(
+        "vec_id", "centroid", F.row_number().over(wcent).alias("rn"))
+    assign = cent_rank.filter(F.col("rn") == 1).select("vec_id", "centroid")
+    probes = (
+        cent_rank
+        .filter((F.col("rn") <= nprobe) & (F.col("vec_id") < n_q))
+        .select(F.col("vec_id").alias("q_id"), "centroid")
+    )
+    q = emb.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    cand = probes.join(assign, "centroid").select(
+        "q_id", F.col("vec_id").alias("neighbor_id"))
+    return _rerank_with_fallback(cand, emb, q, k)
+
+
+# ---------------------------------------------------------------------------
+# fourth wave (r04): the final shared-template entries — after these,
+# every ML-family engine path is an independent DataFrame program and
+# the SQL templates in gate_ml are oracle-only text
+# ---------------------------------------------------------------------------
+
+def dedup_simhash_pairs(docs: DataFrame, bits: int = 48, bands: int = 6,
+                        max_ham: int = 2,
+                        sim: DataFrame | None = None) -> DataFrame:
+    """(doc_a, doc_b, hamming): SimHash near-dup pairs — band the
+    ``bits``-bit hash into ``bands`` 8-bit slices, candidates from an
+    equality hash join on (band, slice value), verify hamming ≤
+    ``max_ham`` via xor+popcount.  No all-pairs term anywhere.
+    ``sim``: pre-materialized (doc_id, simhash) frame (built 3× here)."""
+    if sim is None:
+        sim = dedup_simhash(docs, bits)
+    band_bits = bits // bands
+    bnd = reduce(
+        lambda a, b: a.unionByName(b),
+        [sim.select(
+            "doc_id", F.lit(b).alias("band"),
+            (F.shiftright(F.col("simhash"), b * band_bits)
+             % (1 << band_bits)).alias("bval"))
+         for b in range(bands)],
+    )
+    cand = (
+        bnd.select(F.col("doc_id").alias("doc_a"), "band", "bval")
+        .join(bnd.select(F.col("doc_id").alias("doc_b"), "band", "bval"),
+              ["band", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    return (
+        cand
+        .join(sim.select(F.col("doc_id").alias("doc_a"),
+                         F.col("simhash").alias("ha")), "doc_a")
+        .join(sim.select(F.col("doc_id").alias("doc_b"),
+                         F.col("simhash").alias("hb")), "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_ham)
+    )
+
+
+def dedup_embed_cosine(emb: DataFrame, planes: list[list[float]],
+                       buckets: DataFrame | None = None,
+                       tau_milli: int = 280,
+                       n_planes: int = 8) -> DataFrame:
+    """(vec_a, vec_b, cos_milli): embedding near-dup pairs — candidate
+    pairs from hyperplane-LSH bucket equality (own bucket + hamming-1
+    multiprobe), exact cosine ≥ τ re-check inside candidates only."""
+    eb0 = buckets if buckets is not None else lsh_buckets(emb, planes)
+    probes = reduce(
+        lambda a, b: a.unionByName(b),
+        [eb0.select("vec_id", F.col("bucket").alias("probe"))]
+        + [eb0.select(
+            "vec_id",
+            F.col("bucket").bitwiseXOR(F.lit(1 << j).cast("long"))
+            .alias("probe"))
+           for j in range(n_planes)],
+    )
+    cand = (
+        probes
+        .join(eb0.select(F.col("vec_id").alias("vb"),
+                         F.col("bucket").alias("probe")), "probe")
+        .filter(F.col("vec_id") < F.col("vb"))
+        .select(F.col("vec_id").alias("va"), "vb")
+        .distinct()
+    )
+    ea, qb = F.col("ea"), F.col("eb")
+    score = (
+        _dot_cols(ea, qb)
+        / (F.sqrt(_dot_cols(ea, ea)) * F.sqrt(_dot_cols(qb, qb)))
+    )
+    return (
+        cand
+        .join(emb.select(F.col("vec_id").alias("va"),
+                         F.col("embedding").alias("ea")), "va")
+        .join(emb.select(F.col("vec_id").alias("vb"),
+                         F.col("embedding").alias("eb")), "vb")
+        .select(F.col("va").alias("vec_a"), F.col("vb").alias("vec_b"),
+                score.alias("score"))
+        .filter(F.col("score") * 1000 >= tau_milli)
+        .select("vec_a", "vec_b",
+                F.floor(F.col("score") * 1000).cast("long")
+                .alias("cos_milli"))
+    )
+
+
+def sample_temperature(docs: DataFrame, scale: int = 4,
+                       cap: int | None = None) -> DataFrame:
+    """(source, doc_id, rk): temperature-weighted mixture sampling
+    (α = 0.5) — per-source quota ⌊scale·√n⌋ under a salted-md5 keyed
+    permutation.  ``cap``: literal rank bound ≥ every quota; the
+    redundant conjunct sits below the quota join so Spark plans the
+    window as a per-partition group limit."""
+    quota = (
+        docs.groupBy("source").agg(F.count("*").alias("n"))
+        .select("source",
+                F.greatest(F.lit(1), F.floor(scale * F.sqrt(F.col("n"))))
+                .cast("long").alias("quota"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+        "doc_id")
+    r = docs.select("source", "doc_id",
+                    F.row_number().over(w).cast("int").alias("rk"))
+    if cap is not None:
+        r = r.filter(F.col("rk") <= cap)
+    return (
+        r.join(F.broadcast(quota), "source")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("source", "doc_id", "rk")
+    )
+
+
+def change_merge(events: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """(id, state): OSC-style change application — latest event per
+    synthetic target id wins (ts, then event_id), 'purchase' maps to
+    'deleted', applied to the lineitem-derived node id space.  One
+    window over the (small) change stream + one hash join."""
+    changes = events.select(
+        "event_id", "ts", "event_type",
+        ((F.col("user_id") % 1500) * 8 + 1 + (F.col("event_id") % 7))
+        .alias("target"),
+    )
+    w = Window.partitionBy("target").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    latest = (
+        changes.select("target", "event_type",
+                       F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("target", "event_type")
+    )
+    nodes = lineitem.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"))
+    return (
+        nodes.join(latest, nodes["id"] == latest["target"])
+        .select(
+            "id",
+            F.when(F.col("event_type") == "purchase", "deleted")
+            .otherwise(F.col("event_type")).alias("state"),
+        )
+    )
+
+
+def window_agg(events: DataFrame) -> DataFrame:
+    """(window_start, event_type, n, sum_milli): 5-minute tumbling
+    window aggregate with integer milli-sums (exact under partial
+    aggregation).  The batch twin of the streaming window query."""
+    bucket = (F.floor(F.unix_timestamp(F.col("ts")) / 300) * 300
+              ).cast("long")
+    return (
+        events.select(bucket.alias("window_start"), "event_type",
+                      F.floor(F.col("value") * 1000).cast("long").alias("v"))
+        .groupBy("window_start", "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum("v").cast("long").alias("sum_milli"))
     )

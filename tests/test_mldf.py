@@ -152,3 +152,107 @@ def test_sample_stratified_is_per_stratum_topn(spark):
     avail = docs.groupBy("lang").count().toPandas().set_index("lang")["count"]
     for lang, n in per.items():
         assert n == min(7, int(avail[lang]))
+
+
+# --- third wave: the rest of the shared-template family ---
+
+def test_third_wave_df_matches_templates(spark):
+    cases = [
+        ("dedup_ngram_jaccard", gate_ml.sql_dedup_ngram_jaccard,
+         "documents"),
+        ("dedup_simhash", gate_ml.sql_dedup_simhash, "documents"),
+        ("text_decontaminate", gate_ml.sql_text_decontaminate,
+         "documents"),
+        ("text_repetition", gate_ml.sql_text_repetition, "documents"),
+        ("text_chunks", gate_ml.sql_text_chunks, "documents"),
+        ("text_pii_scrub", gate_ml.sql_text_pii_scrub, "documents"),
+    ]
+    for fn_name, template, table in cases:
+        tbl = spark.read.parquet(f"{SF}/{table}.parquet")
+        got = _norm(getattr(mldf, fn_name)(tbl))
+        want = _norm(_tpl(spark, template, table=table))
+        pd.testing.assert_frame_equal(got, want, obj=fn_name)
+        assert len(got) > 0, fn_name
+
+
+def test_ivf_family_df_matches_templates(spark):
+    cents = gate_ml._plane_vectors(spark, SF, 8, 200)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for fn_name, template in [
+        ("ann_ivf_assign", gate_ml.sql_ann_ivf_assign),
+        ("ann_ivf_topk", gate_ml.sql_ann_ivf_topk),
+        ("ann_kmeans_iter", gate_ml.sql_ann_kmeans_iter),
+    ]:
+        got = _norm(getattr(mldf, fn_name)(emb, cents))
+        want = _norm(_tpl(spark, template, table="embeddings",
+                          cents=cents))
+        pd.testing.assert_frame_equal(got, want, obj=fn_name)
+        assert len(got) > 0, fn_name
+
+
+def test_simhash_bits_in_range(spark):
+    got = mldf.dedup_simhash(_docs(spark), bits=32).toPandas()
+    assert got["simhash"].between(0, (1 << 32) - 1).all()
+
+
+def test_ngram_jaccard_pairs_satisfy_threshold(spark):
+    got = mldf.dedup_ngram_jaccard(_docs(spark)).toPandas()
+    jac = got["n_common"] / (got["n_a"] + got["n_b"] - got["n_common"])
+    assert (jac >= 0.5).all()
+    assert (got["doc_a"] < got["doc_b"]).all()
+
+
+def test_kmeans_iter_counts_match_assignment(spark):
+    cents = gate_ml._plane_vectors(spark, SF, 8, 200)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    it = mldf.ann_kmeans_iter(emb, cents).toPandas()
+    asn = mldf.ann_ivf_assign(emb, cents).toPandas()
+    sizes = asn.groupby("centroid").size()
+    for (c, d), grp in it.groupby(["centroid", "dim"]):
+        assert int(grp["n"].iloc[0]) == int(sizes[c])
+    assert set(it["dim"]) == set(range(1, 65))
+
+
+# --- fourth wave: final shared-template entries ---
+
+def test_fourth_wave_df_matches_templates(spark):
+    docs = _docs(spark)
+    cases = [
+        (mldf.dedup_simhash_pairs(docs),
+         _tpl(spark, gate_ml.sql_dedup_simhash_pairs), "simhash_pairs"),
+        (mldf.sample_temperature(docs),
+         _tpl(spark, gate_ml.sql_sample_temperature), "temperature"),
+    ]
+    for got_df, want_df, name in cases:
+        got, want = _norm(got_df), _norm(want_df)
+        pd.testing.assert_frame_equal(got, want, obj=name)
+        assert len(got) > 0, name
+
+
+def test_embed_cosine_df_matches_template(spark):
+    planes = gate_ml._plane_vectors(spark, SF, 8, 100)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = _norm(mldf.dedup_embed_cosine(emb, planes))
+    want = _norm(_tpl(spark, gate_ml.sql_dedup_embed_cosine,
+                      table="embeddings", planes=planes))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_change_merge_window_agg_df_match_templates(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    ev_v = gate_ml._view(spark, SF, "events")
+    li_v = gate_ml._view(spark, SF, "lineitem")
+    got = _norm(mldf.change_merge(ev, li))
+    want = _norm(spark.sql(gate_ml.sql_change_merge(ev_v, li_v, "spark")))
+    pd.testing.assert_frame_equal(got, want, obj="change_merge")
+    got = _norm(mldf.window_agg(ev))
+    want = _norm(spark.sql(gate_ml.sql_window_agg(ev_v, "spark")))
+    pd.testing.assert_frame_equal(got, want, obj="window_agg")
+    assert len(got) > 0
+
+
+def test_simhash_pairs_hamming_bound(spark):
+    got = mldf.dedup_simhash_pairs(_docs(spark)).toPandas()
+    assert got["hamming"].between(0, 2).all()
+    assert (got["doc_a"] < got["doc_b"]).all()
