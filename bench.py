@@ -230,23 +230,20 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicate: int = 1,
 
 
 def run_ml(spark, sf_dir: str) -> dict[str, float]:
-    from geodesk_gol_spark.gate_ml import (
-        sql_ann_cosine_topk,
-        sql_dedup_minhash,
-        sql_window_agg,
-    )
+    # measures the SHIPPED engine paths (DataFrame programs in
+    # operators/mldf.py — the same callables the gate registry runs),
+    # not the DuckDB-oracle SQL templates
+    from geodesk_gol_spark.operators import mldf
 
     t = {}
-    for name, tbl, sql_fn in [
-        ("q_dedup_minhash", "documents", sql_dedup_minhash),
-        ("q_ann_topk", "embeddings", sql_ann_cosine_topk),
-        ("q_window_agg", "events", sql_window_agg),
+    for name, tbl, fn in [
+        ("q_dedup_minhash", "documents", mldf.dedup_minhash),
+        ("q_ann_topk", "embeddings", mldf.ann_cosine_topk),
+        ("q_window_agg", "events", mldf.window_agg),
     ]:
-        spark.read.parquet(f"{sf_dir}/{tbl}.parquet").createOrReplaceTempView(
-            f"bench_{tbl}"
-        )
+        df = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
         t0 = time.time()
-        spark.sql(sql_fn(f"bench_{tbl}", "spark")).count()
+        fn(df).count()
         t[name] = time.time() - t0
     return t
 

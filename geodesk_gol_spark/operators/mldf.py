@@ -257,7 +257,17 @@ def pack_sequences(docs: DataFrame, cap: int = 64) -> DataFrame:
 
 def _dot_cols(emb, q, dim: int = 64) -> F.Column:
     """Left-associated 64-term dot product — the same association order
-    as the oracle template, so the IEEE result is bit-identical."""
+    as the oracle template, so the IEEE result is bit-identical.
+
+    Accepts column NAMES (fast path: the whole chain is one F.expr
+    string, a single JVM parse) or Column objects (py4j-built tree —
+    ~128 round-trips; avoid in per-call hot paths: the driver-side tree
+    build costs ~1 s per call, measured in bench q_ann_topk)."""
+    if isinstance(emb, str) and isinstance(q, str):
+        terms = " + ".join(
+            f"(CAST({emb}[{i}] AS DOUBLE) * CAST({q}[{i}] AS DOUBLE))"
+            for i in range(dim))
+        return F.expr(f"({terms})")
     return reduce(
         lambda acc, i: acc + emb[i].cast("double") * q[i].cast("double"),
         range(1, dim), emb[0].cast("double") * q[0].cast("double"),
@@ -265,6 +275,15 @@ def _dot_cols(emb, q, dim: int = 64) -> F.Column:
 
 
 def _dot_lit_cols(emb, plane: list[float]) -> F.Column:
+    """Dot against a literal vector.  Column-name fast path mirrors the
+    oracle's literal emission exactly: repr() is the shortest
+    round-trip decimal and CAST('…' AS DOUBLE) parses with correct
+    rounding, so the literal IS the stored double bit-for-bit."""
+    if isinstance(emb, str):
+        terms = " + ".join(
+            f"(CAST({emb}[{i}] AS DOUBLE) * CAST('{plane[i]!r}' AS DOUBLE))"
+            for i in range(len(plane)))
+        return F.expr(f"({terms})")
     return reduce(
         lambda acc, i: acc + emb[i].cast("double") * F.lit(plane[i]),
         range(1, len(plane)), emb[0].cast("double") * F.lit(plane[0]),
@@ -273,10 +292,10 @@ def _dot_lit_cols(emb, plane: list[float]) -> F.Column:
 
 def lsh_buckets(emb: DataFrame, planes: list[list[float]]) -> DataFrame:
     """(vec_id, bucket): sign-bit code against broadcast hyperplanes."""
-    e = F.col("embedding")
     bucket = reduce(
         lambda acc, jp: acc + F.when(
-            _dot_lit_cols(e, jp[1]) > 0, F.lit(1 << jp[0]).cast("long")
+            _dot_lit_cols("embedding", jp[1]) > 0,
+            F.lit(1 << jp[0]).cast("long")
         ).otherwise(F.lit(0).cast("long")),
         enumerate(planes), F.lit(0).cast("long"),
     )
@@ -320,8 +339,8 @@ def ann_lsh_topk(emb: DataFrame, planes: list[list[float]],
         .join(q, "q_id")
         .select(
             "q_id", "neighbor_id",
-            (_dot_cols(F.col("embedding"), F.col("q_emb"))
-             / F.sqrt(_dot_cols(F.col("embedding"), F.col("embedding"))))
+            (_dot_cols("embedding", "q_emb")
+             / F.sqrt(_dot_cols("embedding", "embedding")))
             .alias("score"),
         )
     )
@@ -338,8 +357,8 @@ def ann_lsh_topk(emb: DataFrame, planes: list[list[float]],
         e_all.crossJoin(sparse)
         .select(
             "q_id", F.col("vec_id").alias("neighbor_id"),
-            (_dot_cols(F.col("embedding"), F.col("q_emb"))
-             / F.sqrt(_dot_cols(F.col("embedding"), F.col("embedding"))))
+            (_dot_cols("embedding", "q_emb")
+             / F.sqrt(_dot_cols("embedding", "embedding")))
             .alias("score"),
         )
         .select("q_id", "neighbor_id",
@@ -447,8 +466,8 @@ def ann_cosine_topk(emb: DataFrame, k: int = 5, n_q: int = 4) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
     scored = emb.crossJoin(F.broadcast(q)).select(
         "q_id", F.col("vec_id").alias("neighbor_id"),
-        (_dot_cols(F.col("embedding"), F.col("q_emb"))
-         / F.sqrt(_dot_cols(F.col("embedding"), F.col("embedding"))))
+        (_dot_cols("embedding", "q_emb")
+         / F.sqrt(_dot_cols("embedding", "embedding")))
         .alias("score"),
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -636,7 +655,7 @@ def _ivf_score_cols(cents: list[list[float]]) -> list[F.Column]:
         acc = 0.0
         for v in c:
             acc = acc + v * v
-        out.append(F.lit(acc) - 2 * _dot_lit_cols(F.col("embedding"), c))
+        out.append(F.lit(acc) - 2 * _dot_lit_cols("embedding", c))
     return out
 
 
@@ -691,8 +710,8 @@ def _rerank_with_fallback(cand: DataFrame, emb: DataFrame, q: DataFrame,
         .join(q, "q_id")
         .select(
             "q_id", "neighbor_id",
-            (_dot_cols(F.col("embedding"), F.col("q_emb"))
-             / F.sqrt(_dot_cols(F.col("embedding"), F.col("embedding"))))
+            (_dot_cols("embedding", "q_emb")
+             / F.sqrt(_dot_cols("embedding", "embedding")))
             .alias("score"),
         )
     )
@@ -709,8 +728,8 @@ def _rerank_with_fallback(cand: DataFrame, emb: DataFrame, q: DataFrame,
         e_all.crossJoin(sparse)
         .select(
             "q_id", F.col("vec_id").alias("neighbor_id"),
-            (_dot_cols(F.col("embedding"), F.col("q_emb"))
-             / F.sqrt(_dot_cols(F.col("embedding"), F.col("embedding"))))
+            (_dot_cols("embedding", "q_emb")
+             / F.sqrt(_dot_cols("embedding", "embedding")))
             .alias("score"),
         )
         .select("q_id", "neighbor_id",
@@ -825,10 +844,9 @@ def dedup_embed_cosine(emb: DataFrame, planes: list[list[float]],
         .select(F.col("vec_id").alias("va"), "vb")
         .distinct()
     )
-    ea, qb = F.col("ea"), F.col("eb")
     score = (
-        _dot_cols(ea, qb)
-        / (F.sqrt(_dot_cols(ea, ea)) * F.sqrt(_dot_cols(qb, qb)))
+        _dot_cols("ea", "eb")
+        / (F.sqrt(_dot_cols("ea", "ea")) * F.sqrt(_dot_cols("eb", "eb")))
     )
     return (
         cand
