@@ -1080,9 +1080,8 @@ def _q_s8_osc_roundtrip(spark, sf):
 def _q_s8_replication(spark, sf):
     """S8 replication client end-to-end: build a LOCAL Osmosis-style
     replication tree (two sequence-numbered .osc.gz diffs + state
-    files, served over ``file://`` — urlopen handles both schemes, the
-    HTTP path is pytest-covered with a live server), walk it from
-    revision 0, and apply both diffs as one strictly-ordered merge
+    files), serve it over REAL HTTP on an ephemeral loopback port, walk
+    it from revision 0, and apply both diffs as one strictly-ordered merge
     (ReplicationClient.cpp:1-164, Updater.cpp:187-243).  Revision 2
     overwrites a subset of revision 1's modifies, so this row fails if
     diffs apply out of order or the second one is skipped."""
@@ -1127,10 +1126,36 @@ def _q_s8_replication(spark, sf):
         (F.col("ftype") == 0) & ~F.col("is_ghost")
     ).select("typed_id", "id", "tags", "tile_id")
     spool = srv / "spool"
-    merged, head = replicate(
-        spark, f"file://{srv}", store_nodes, 0, str(spool),
-        catalog=c["catalog"],
-    )
+    # serve the tree over REAL HTTP (ephemeral loopback port) so the
+    # gate row exercises the same scheme `gol update <url>` uses —
+    # the reference's headline incremental story
+    # (ReplicationClient.cpp).  file:// only as a fallback if the
+    # driver environment forbids binding a socket.
+    import http.server
+    import socketserver
+    import threading
+
+    try:
+        handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+            *a, directory=str(srv), **kw)
+        with socketserver.TCPServer(("127.0.0.1", 0), handler) as httpd:
+            thread = threading.Thread(target=httpd.serve_forever,
+                                      daemon=True)
+            thread.start()
+            try:
+                merged, head = replicate(
+                    spark,
+                    f"http://127.0.0.1:{httpd.server_address[1]}",
+                    store_nodes, 0, str(spool), catalog=c["catalog"],
+                )
+            finally:
+                httpd.shutdown()
+                thread.join(timeout=5)
+    except OSError:
+        merged, head = replicate(
+            spark, f"file://{srv}", store_nodes, 0, str(spool),
+            catalog=c["catalog"],
+        )
     assert head.revision == 2
     return merged.filter(
         (F.col("id") % 97 == 0) & (F.col("id") <= _OSC_ID_CAP)
