@@ -236,8 +236,15 @@ def run_ml(spark, sf_dir: str) -> dict[str, float]:
     from geodesk_gol_spark.operators import mldf
 
     t = {}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    # same shape as the shipped gate path: the capped-shingle table is
+    # materialized once (read 3x: bands + both verify sides) — the
+    # checkpoint write is timed as part of the operator
+    sh2 = mldf.capped_shingles(docs).localCheckpoint()
+    mldf.dedup_minhash(docs, sh2=sh2).count()
+    t["q_dedup_minhash"] = time.time() - t0
     for name, tbl, fn in [
-        ("q_dedup_minhash", "documents", mldf.dedup_minhash),
         ("q_ann_topk", "embeddings", mldf.ann_cosine_topk),
         ("q_window_agg", "events", mldf.window_agg),
     ]:
