@@ -1135,10 +1135,23 @@ def _q_s8_replication(spark, sf):
     import socketserver
     import threading
 
+    # the except guards ONLY the socket bind: a real HTTP-path failure
+    # inside replicate() (404 on a state file, fetch bug) must propagate
+    # — urllib errors subclass OSError, so a broad wrap would silently
+    # downgrade this row to the file:// path and mask the HTTP scheme
+    # it exists to exercise.  The fallback also gets a FRESH spool so a
+    # partially-spooled HTTP attempt can never leak into it.
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+        *a, directory=str(srv), **kw)
     try:
-        handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(  # noqa: E731
-            *a, directory=str(srv), **kw)
-        with socketserver.TCPServer(("127.0.0.1", 0), handler) as httpd:
+        httpd = socketserver.TCPServer(("127.0.0.1", 0), handler)
+    except OSError:
+        merged, head = replicate(
+            spark, f"file://{srv}", store_nodes, 0,
+            str(srv / "spool_file"), catalog=c["catalog"],
+        )
+    else:
+        with httpd:
             thread = threading.Thread(target=httpd.serve_forever,
                                       daemon=True)
             thread.start()
@@ -1151,11 +1164,6 @@ def _q_s8_replication(spark, sf):
             finally:
                 httpd.shutdown()
                 thread.join(timeout=5)
-    except OSError:
-        merged, head = replicate(
-            spark, f"file://{srv}", store_nodes, 0, str(spool),
-            catalog=c["catalog"],
-        )
     assert head.revision == 2
     return merged.filter(
         (F.col("id") % 97 == 0) & (F.col("id") <= _OSC_ID_CAP)

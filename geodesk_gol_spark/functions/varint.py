@@ -34,6 +34,11 @@ def decode_varints(buf: np.ndarray) -> np.ndarray:
     group = np.searchsorted(ends, idx)
     starts = np.concatenate(([0], ends[:-1] + 1))
     pos = (idx - starts[group]).astype(np.uint64)
+    # a uint64 varint is <= 10 bytes; an overlong group would shift by
+    # >= 70 bits — C-undefined in numpy, i.e. silent garbage instead of
+    # an error — so reject corrupt input before shifting
+    if pos.max() > 9:
+        raise ValueError("overlong varint (> 10 bytes) in stream")
     parts = (buf & 0x7F).astype(np.uint64) << (pos * np.uint64(7))
     out = np.zeros(len(ends), dtype=np.uint64)
     np.add.at(out, group, parts)

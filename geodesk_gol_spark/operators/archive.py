@@ -220,10 +220,24 @@ def copy_tiles(
     replace target tiles wholesale, everything else is kept.
 
     The merged archive is written to a sibling temp dir and swapped in
-    (Spark cannot overwrite a directory it is reading), so a crash
-    mid-copy leaves the original target intact.  Returns the new target
-    manifest."""
+    (Spark cannot overwrite a directory it is reading).  The swap is two
+    renames — target→``.old`` then tmp→target — so a crash in the gap
+    leaves the content only in the ``.old`` sibling; entry recovery
+    below restores it, making the whole copy crash-safe.  Returns the
+    new target manifest."""
     import shutil
+
+    # crash recovery: a prior run that died between its two swap renames
+    # left the original content in `.old` with no target — restore it
+    # before reading, so this run merges into the real base instead of
+    # silently seeding the target from source alone
+    _old = target.rstrip("/") + ".old"
+    if os.path.exists(_old) and not os.path.exists(
+        os.path.join(target, MANIFEST)
+    ):
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.rename(_old, target)
 
     src = load_tiles(spark, source, verify=verify)
     if bbox is not None:

@@ -146,11 +146,20 @@ def _read_blob(path: str, offset: int, size: int) -> memoryview:
         raw = memoryview(f.read(size))
     data = None
     raw_bytes = None
+    other_fields = []
     for fno, _, v in _fields(raw):
         if fno == 1:
             raw_bytes = bytes(v)
         elif fno == 3:
             data = zlib.decompress(bytes(v))
+        elif fno != 2:  # 2 = raw_size hint; 4/5/6 = lzma/lz4/zstd
+            other_fields.append(fno)
+    if data is None and raw_bytes is None:
+        # clear error instead of an opaque TypeError deep in an executor
+        raise ValueError(
+            "unsupported blob compression (Blob field(s) "
+            f"{other_fields or '?'}; only raw and zlib_data are decoded)"
+        )
     return memoryview(data if data is not None else raw_bytes)
 
 
@@ -294,8 +303,10 @@ _REL_SCHEMA = ("seq long, id long, "
 def _index_df(spark: SparkSession, path: str,
               partitions: int | None = None) -> DataFrame:
     idx = blob_index(path)
-    idx = idx[idx["kind"] == "OSMData"]
-    df = spark.createDataFrame(idx)
+    idx = idx[idx["kind"] == "OSMData"][["seq", "offset", "size"]]
+    # explicit schema: a header-only/empty .pbf yields zero OSMData rows
+    # and schema inference over an empty pandas frame would fail
+    df = spark.createDataFrame(idx, schema="seq long, offset long, size long")
     n = partitions or min(
         max(1, len(idx)),
         int(spark.conf.get("spark.sql.shuffle.partitions")))

@@ -287,3 +287,34 @@ def test_install_archive_fetches_and_stamps(spark, built, tmp_path):
     # installed parts are locally loadable with checksums intact
     back = load_tiles(spark, dest, verify=True)
     assert back.count() == store.count()
+
+
+def test_copy_tiles_recovers_from_crashed_swap(spark, built, tmp_path):
+    """A crash between copy_tiles' two swap renames leaves the original
+    content only in `.old` with no target; the next copy must restore
+    it and merge into the real base, not seed from source alone."""
+    import os
+    import shutil
+
+    res, store = built
+    src = str(tmp_path / "rc_src")
+    save_tiles(store, res.catalog, src)
+    bb1 = (1115000000, 630000000, 1126000000, 648000000)
+    tgt = str(tmp_path / "rc_tgt")
+    m1 = save_tiles(store, res.catalog, tgt, bbox=bb1)
+    # simulate the crash window: target renamed to .old, tmp never
+    # swapped in (no target dir at all)
+    os.rename(tgt, tgt + ".old")
+    bb2 = (1120000000, 642000000, 1132000000, 654000000)
+    m2 = copy_tiles(spark, src, tgt, catalog=res.catalog, bbox=bb2)
+    from geodesk_gol_spark.query.spatial import tiles_for_bbox
+
+    have_store = {int(r["tile_id"]) for r in
+                  store.select("tile_id").distinct().collect()}
+    want = (set(tiles_for_bbox(res.catalog, *bb1)[0])
+            | set(tiles_for_bbox(res.catalog, *bb2)[0])) & have_store
+    # bb1 tiles (recovered base) AND bb2 tiles (new copy) both present
+    assert set(m2["tiles"]) == want
+    assert set(m1["tiles"]) <= set(m2["tiles"])
+    assert not os.path.exists(tgt + ".old")
+    shutil.rmtree(src)

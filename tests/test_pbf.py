@@ -137,3 +137,44 @@ def test_pbf_negative_coordinates_and_offsets(tmp_path, spark):
     got = pbf.read_pbf(spark, path, "nodes").orderBy("id").toPandas()
     assert got["lat_nd"].tolist() == [n[1] for n in nodes]
     assert got["lon_nd"].tolist() == [n[2] for n in nodes]
+
+
+def test_varint_overlong_rejected():
+    """An 11-byte varint group (shift >= 70 bits) must raise, not emit
+    platform-dependent garbage via a C-undefined uint64 shift."""
+    import pytest
+
+    buf = np.frombuffer(b"\x80" * 10 + b"\x01", dtype=np.uint8)
+    with pytest.raises(ValueError, match="overlong varint"):
+        decode_varints(buf)
+    # the max legal width (10 bytes) still decodes
+    ok = np.frombuffer(encode_varints([2**64 - 1]), dtype=np.uint8)
+    assert len(ok) == 10
+    assert decode_varints(ok).tolist() == [2**64 - 1]
+
+
+def test_blob_unsupported_compression_error():
+    """A Blob carrying only an unsupported compression field (e.g.
+    lz4_data, field 5) raises a clear ValueError, not a TypeError."""
+    import pytest
+
+    from geodesk_gol_spark.sources.pbf import _msg, _read_blob
+
+    payload = _msg(5, b"\x00\x01\x02")  # field 5 = lz4_data
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".pbf", delete=False) as f:
+        f.write(payload)
+        name = f.name
+    with pytest.raises(ValueError, match="unsupported blob compression"):
+        _read_blob(name, 0, len(payload))
+
+
+def test_pbf_empty_file_reads_empty(tmp_path, spark):
+    """A header-only .pbf (zero OSMData blobs) returns an empty typed
+    frame instead of failing pandas schema inference."""
+    path = str(tmp_path / "empty.osm.pbf")
+    pbf.write_pbf(path, nodes=[], ways=[], relations=[])
+    got = pbf.read_pbf(spark, path, "nodes")
+    assert got.count() == 0
+    assert "id" in got.columns and "lat_nd" in got.columns
