@@ -27,8 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .. import sqlgen
-from ..config import LEAF_ZOOM
+from ..config import LEAF_ZOOM, ZOOM_LEVELS
 from ..plans.pyramid import TileCatalog, _LADDER
 from ..sources.parser import TYPE_NODE, TYPE_RELATION, TYPE_WAY
 
@@ -106,7 +105,12 @@ def way_extents(
 _EXT_COLS = ["minc", "minr", "maxc", "maxr", "minx", "miny", "maxx", "maxy"]
 
 
-def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
+def relation_extents(
+    relations: DataFrame,
+    points: DataFrame,
+    wext: DataFrame,
+    stats: dict | None = None,
+):
     """J5/J6: resolve member extents bottom-up by level.
 
     Scale shape (mirrors the reference's split): member resolution for
@@ -128,7 +132,18 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
     Returns (rel_ext, unresolved): ``rel_ext`` = (typed_id, id, level,
     n_members, n_resolved, refcycle, *extent); ``unresolved`` = relations
     with no resolvable member at all.
+
+    ``stats`` (optional dict) is filled with the driver-residue meters
+    ``j6_pending_supers`` / ``j6_residue_edges`` — the exact row volume
+    the super-relation resolver pulls driver-side.  The residue is
+    bounded by construction (only unresolved-after-level-loop supers,
+    small on real OSM), but a pathological corpus could balloon it, so
+    the edge count is ALSO hard-capped: > SPARK_GRAFT_J6_RESIDUE_CAP
+    (default 5M rows) raises instead of silently OOMing the driver.
     """
+    if stats is not None:
+        stats.setdefault("j6_pending_supers", 0)
+        stats.setdefault("j6_residue_edges", 0)
     spark = relations.sparkSession
     rm = (
         relations.select(
@@ -353,6 +368,24 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
             n_pending -= n_new
 
         if n_pending:
+            # residue meter + hard cap BEFORE any driver collect: one
+            # cheap count over the (persisted) edge frame bounds what
+            # the five toPandas() calls below will pull
+            n_res_edges = int(edges.join(pending, "rel_id").count())
+            if stats is not None:
+                stats["j6_pending_supers"] = int(n_pending)
+                stats["j6_residue_edges"] = n_res_edges
+            residue_cap = int(
+                _os.environ.get("SPARK_GRAFT_J6_RESIDUE_CAP", "5000000")
+            )
+            if n_res_edges > residue_cap:
+                raise RuntimeError(
+                    f"J6 driver residue too large: {n_res_edges} pending "
+                    f"super-relation edges > cap {residue_cap} "
+                    "(SPARK_GRAFT_J6_RESIDUE_CAP); raise "
+                    "SPARK_GRAFT_J6_DRIVER_MAX to keep more levels "
+                    "distributed instead"
+                )
             # cycle break: residue only — collect, score each cyclic
             # relation with the reference's heuristic
             # (SuperRelationResolver.cpp:152-235: +1e9 if it has ONLY
@@ -578,6 +611,51 @@ def relation_extents(relations: DataFrame, points: DataFrame, wext: DataFrame):
 # TilePair homes (J3) + survivor mapping
 # ---------------------------------------------------------------------------
 
+def _zstar_col(minc="minc", minr="minr", maxc="maxc", maxr="maxr"):
+    """Deepest zoom where the cell extent spans <= 2 adjacent sibling
+    tiles (col-span + row-span <= 1); z=0 always qualifies.
+
+    Native Column arithmetic on purpose: the DuckDB oracle derives the
+    same quantity from an INDEPENDENTLY WRITTEN text expression
+    (sqlgen.zstar_expr — float floor-division), while this path uses
+    integer bit-shifts, so a bug in either formulation breaks the gate
+    instead of passing both engines.  Cell coords are non-negative
+    (0..4095), where shiftright == floor-division exactly.
+    """
+    out = F.lit(0)
+    # ascending wrap order ⇒ the DEEPEST qualifying zoom is tested first
+    # in the final expression and wins
+    for z in sorted(z for z in ZOOM_LEVELS if z > 0):
+        s = LEAF_ZOOM - z
+        span = (
+            F.shiftright(F.col(maxc), s) - F.shiftright(F.col(minc), s)
+            + F.shiftright(F.col(maxr), s) - F.shiftright(F.col(minr), s)
+        )
+        out = F.when(span <= 1, F.lit(z)).otherwise(out)
+    return out
+
+
+def _at_zstar_col(cell: str, zstar: str = "zstar"):
+    """Tile col/row at the data-dependent zoom z* (CASE over the fixed
+    zoom ladder; each arm a constant-shift — stays in codegen)."""
+    expr = None
+    for z in ZOOM_LEVELS:
+        arm = F.shiftright(F.col(cell), LEAF_ZOOM - z)
+        cond = F.col(zstar) == z
+        expr = F.when(cond, arm) if expr is None else expr.when(cond, arm)
+    return expr
+
+
+def _corner_cell_col(colz: str, zstar: str = "zstar"):
+    """Zoom-12 cell coordinate of a z*-tile's min corner."""
+    expr = None
+    for z in ZOOM_LEVELS:
+        arm = F.col(colz) * (1 << (LEAF_ZOOM - z))
+        cond = F.col(zstar) == z
+        expr = F.when(cond, arm) if expr is None else expr.when(cond, arm)
+    return expr
+
+
 def home_tiles(ext: DataFrame, catalog: TileCatalog) -> DataFrame:
     """Extent → home tile rows (typed_id, tile_id, twin, zstar). J3.
 
@@ -587,29 +665,35 @@ def home_tiles(ext: DataFrame, catalog: TileCatalog) -> DataFrame:
     analogue of TileCatalog.h:74-82's cellToPile array), and twins that
     collapse onto the same survivor dedupe in-row — no explode-then-
     groupBy, no shuffle, no BroadcastExchange chain.
+
+    The z*/corner math is native Column code (bit-shift formulation),
+    deliberately NOT the sqlgen SQL text the DuckDB oracle composes —
+    engine and oracle share no expression source for J3; a third
+    pure-Python derivation pins both (oracle/slowpath.py,
+    tests/test_slowpath_oracle.py).
     """
     from ..functions.tile_lookup import survivor_lookup_udf
 
     lookup = survivor_lookup_udf(ext.sparkSession, catalog.tiles)
-    e = ext.withColumn("zstar", F.expr(sqlgen.zstar_expr()))
+    e = ext.withColumn("zstar", _zstar_col())
     e = (
-        e.withColumn("c0", F.expr(sqlgen.at_zstar_expr("minc")))
-        .withColumn("r0", F.expr(sqlgen.at_zstar_expr("minr")))
-        .withColumn("c1", F.expr(sqlgen.at_zstar_expr("maxc")))
-        .withColumn("r1", F.expr(sqlgen.at_zstar_expr("maxr")))
+        e.withColumn("c0", _at_zstar_col("minc"))
+        .withColumn("r0", _at_zstar_col("minr"))
+        .withColumn("c1", _at_zstar_col("maxc"))
+        .withColumn("r1", _at_zstar_col("maxr"))
     )
     e = e.withColumn(
         "t0",
         lookup(
-            F.expr(sqlgen.corner_cell_expr("c0")).cast("int"),
-            F.expr(sqlgen.corner_cell_expr("r0")).cast("int"),
+            _corner_cell_col("c0").cast("int"),
+            _corner_cell_col("r0").cast("int"),
             F.col("zstar").cast("int"),
         ),
     ).withColumn(
         "t1",
         lookup(
-            F.expr(sqlgen.corner_cell_expr("c1")).cast("int"),
-            F.expr(sqlgen.corner_cell_expr("r1")).cast("int"),
+            _corner_cell_col("c1").cast("int"),
+            _corner_cell_col("r1").cast("int"),
             F.col("zstar").cast("int"),
         ),
     )
@@ -695,7 +779,10 @@ def assign_features(
 
     # relation_extents returns a lazily localCheckpointed frame — its
     # blocks ARE the cache; a persist() on top would store a second copy
-    rel_ext, unresolved = relation_extents(feats["relations"], points, wext)
+    j6_stats: dict = {}
+    rel_ext, unresolved = relation_extents(
+        feats["relations"], points, wext, stats=j6_stats
+    )
     rel_homes = home_tiles(rel_ext, catalog).join(
         rel_ext.select("typed_id", "level"), "typed_id"
     )
@@ -728,6 +815,7 @@ def assign_features(
 
     return {
         "points": points,
+        "j6_stats": j6_stats,
         "node_tiles": node_tiles,
         "way_homes": way_homes,
         "way_ghosts": way_ghosts,

@@ -119,7 +119,9 @@ def build_gol(
         res = assign_features(feats, catalog)
         for k, p in asn_paths.items():
             res[k].write.mode("overwrite").parquet(p)
-        record("assignment", t0)
+        # J6 driver-residue meters ride into the metrics table so a
+        # pathological super-relation corpus is visible, not silent
+        record("assignment", t0, **res.get("j6_stats", {}))
     asn = {k: spark.read.parquet(p) for k, p in asn_paths.items()}
 
     # -- stage 5: validate --------------------------------------------------

@@ -132,3 +132,45 @@ def test_twin_pairs_are_adjacent(assigned):
             dc = abs(tile_col(ts[0]) - tile_col(ts[1]))
             dr = abs(tile_row(ts[0]) - tile_row(ts[1]))
             assert dc + dr == 1, (tid, ts)
+
+
+def test_native_zstar_matches_sqlgen_text(spark, assigned):
+    """J3 de-share pin: the engine's native bit-shift zstar/at-zstar/
+    corner Columns (operators/assign._zstar_col etc.) equal the sqlgen
+    SQL-text formulation (float floor-division) the DuckDB oracle
+    composes — evaluated side-by-side over the REAL way+relation extent
+    frame, plus adversarial synthetic extents at every span class."""
+    from geodesk_gol_spark.operators.assign import (
+        _at_zstar_col, _corner_cell_col, _zstar_col)
+
+    res, _ = assigned
+    ext = res["extents"].select("typed_id", "minc", "minr", "maxc", "maxr")
+    # adversarial extents: single-cell, sibling pairs each axis, diagonal
+    # (climbs), full-world, and cross-boundary spans at each zoom step
+    extra = spark.createDataFrame(
+        [(-1 - i, a, b, c, d) for i, (a, b, c, d) in enumerate([
+            (0, 0, 0, 0), (4095, 4095, 4095, 4095),
+            (0, 0, 1, 0), (0, 0, 0, 1), (0, 0, 1, 1),
+            (7, 9, 8, 9), (7, 9, 7, 10), (7, 9, 8, 10),
+            (0, 0, 4095, 4095), (2047, 0, 2048, 0), (0, 2047, 0, 2048),
+            (511, 511, 512, 512), (63, 0, 64, 0), (4094, 4094, 4095, 4095),
+        ])],
+        "typed_id long, minc int, minr int, maxc int, maxr int",
+    )
+    both = (
+        ext.unionByName(extra)
+        .withColumn("z_nat", _zstar_col())
+        .withColumn("z_sql", F.expr(sqlgen.zstar_expr()))
+    )
+    assert both.filter("z_nat <> z_sql").count() == 0
+    withz = both.withColumn("zstar", F.col("z_nat"))
+    pairs = [
+        (_at_zstar_col("minc"), sqlgen.at_zstar_expr("minc")),
+        (_at_zstar_col("maxr"), sqlgen.at_zstar_expr("maxr")),
+    ]
+    for nat, sql in pairs:
+        assert withz.filter(nat != F.expr(sql)).count() == 0
+    withc = withz.withColumn("c0", _at_zstar_col("minc"))
+    assert withc.filter(
+        _corner_cell_col("c0") != F.expr(sqlgen.corner_cell_expr("c0"))
+    ).count() == 0

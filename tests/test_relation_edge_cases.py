@@ -184,3 +184,46 @@ def test_empty_and_selfref_only_relations_are_unresolved(spark, world):
     ext, unresolved = relation_extents(rels, points, wext)
     assert sorted(r.rel_id for r in unresolved.collect()) == [960, 961]
     assert [r.id for r in ext.collect()] == [962]
+
+
+def test_j6_residue_is_metered(spark, world):
+    """The driver-side super-relation residue records its row volume
+    into the stats dict (pipeline forwards it to the metrics table) —
+    a pathological corpus is visible, never silent."""
+    points, wext = world
+    rels = _rels(
+        spark,
+        [
+            (920, [(2, 921, "a"), (1, 100, "m")], {}, "x", 0),
+            (921, [(2, 920, "a")], {}, "x", 1),
+        ],
+    )
+    stats: dict = {}
+    ext, _ = relation_extents(rels, points, wext, stats=stats)
+    ext.count()
+    assert stats["j6_pending_supers"] == 2
+    assert stats["j6_residue_edges"] == 2
+
+    # no super-relations at all -> zero meters, keys still present
+    simple = _rels(spark, [(930, [(1, 100, "m")], {}, "x", 0)])
+    stats2: dict = {}
+    ext2, _ = relation_extents(simple, points, wext, stats=stats2)
+    ext2.count()
+    assert stats2 == {"j6_pending_supers": 0, "j6_residue_edges": 0}
+
+
+def test_j6_residue_cap_raises(spark, world, monkeypatch):
+    """Above SPARK_GRAFT_J6_RESIDUE_CAP the resolver refuses to pull
+    the residue driver-side instead of ballooning silently."""
+    points, wext = world
+    rels = _rels(
+        spark,
+        [
+            (940, [(2, 941, "a"), (1, 100, "m")], {}, "x", 0),
+            (941, [(2, 940, "a")], {}, "x", 1),
+        ],
+    )
+    monkeypatch.setenv("SPARK_GRAFT_J6_RESIDUE_CAP", "1")
+    with pytest.raises(RuntimeError, match="J6 driver residue too large"):
+        ext, _ = relation_extents(rels, points, wext)
+        ext.count()
