@@ -99,6 +99,39 @@ def node_wkt(nodes: DataFrame, precision: int = 7) -> DataFrame:
     )
 
 
+def _way_body(
+    ways: DataFrame, nodes: DataFrame, pt, sep: str
+) -> DataFrame:
+    """(id, as_area, tags, body): ordered member-coordinate text per way.
+
+    ``pt`` is a Column over (lon100nd, lat100nd) rendering one vertex.
+    Spark shape: explode node list with position, join node coords,
+    re-sort inside the array (collect_list order is shuffle-dependent —
+    array_sort on (seq, text) restores the span order invariant).
+    """
+    from ..functions.areas import way_is_area
+
+    wm = ways.select(
+        "id",
+        "tags",
+        way_is_area().alias("as_area"),
+        F.posexplode("node_ids").alias("seq", "node_id"),
+    )
+    coords = nodes.select(F.col("id").alias("node_id"), pt.alias("pt"))
+    return (
+        wm.join(coords, "node_id")
+        # maps are not orderable ⇒ not groupable; carry tags via first()
+        .groupBy("id", "as_area")
+        .agg(
+            F.first("tags").alias("tags"),
+            F.array_sort(F.collect_list(F.struct("seq", "pt"))).alias("pts"),
+        )
+        .withColumn(
+            "body", F.array_join(F.expr("transform(pts, p -> p.pt)"), sep)
+        )
+    )
+
+
 def way_wkt(
     ways: DataFrame, nodes: DataFrame, precision: int = 7
 ) -> DataFrame:
@@ -108,31 +141,12 @@ def way_wkt(
     area tags, functions/areas.way_is_area) — a closed
     junction=roundabout is a linear feature in the reference's printer
     and in this repo's own compiled is_area flag.
-
-    Spark shape: explode node list with position, join node coords,
-    re-sort inside the array (collect_list order is shuffle-dependent —
-    array_sort on (seq, text) restores the span order invariant).
     """
-    from ..functions.areas import way_is_area
-
-    wm = ways.select(
-        "id",
-        way_is_area().alias("as_area"),
-        F.posexplode("node_ids").alias("seq", "node_id"),
+    pt = F.concat(
+        coord_str("lon100nd", precision), F.lit(" "),
+        coord_str("lat100nd", precision),
     )
-    coords = nodes.select(
-        F.col("id").alias("node_id"),
-        F.concat(
-            coord_str("lon100nd", precision), F.lit(" "),
-            coord_str("lat100nd", precision),
-        ).alias("pt"),
-    )
-    per_way = (
-        wm.join(coords, "node_id")
-        .groupBy("id", "as_area")
-        .agg(F.array_sort(F.collect_list(F.struct("seq", "pt"))).alias("pts"))
-        .withColumn("body", F.array_join(F.expr("transform(pts, p -> p.pt)"), ", "))
-    )
+    per_way = _way_body(ways, nodes, pt, ", ")
     return per_way.select(
         "id",
         F.when(
@@ -140,6 +154,57 @@ def way_wkt(
         )
         .otherwise(F.concat(F.lit("LINESTRING ("), F.col("body"), F.lit(")")))
         .alias("wkt"),
+    )
+
+
+def _sorted_tag_props_json() -> "F.Column":
+    """Tag map → JSON object text with SORTED keys (deterministic across
+    shuffles and engines; the reference prints tag-table storage order,
+    our documented spec is sorted keys — same deviation node_brief
+    makes).  Values are inserted verbatim: the corpus synthesizes no
+    JSON-special characters (matching _PROPS_JSON's convention)."""
+    return F.expr(
+        "concat('{', array_join(transform(array_sort(map_entries(tags)), "
+        "e -> concat('\"', e.key, '\":\"', e.value, '\"')), ','), '}')"
+    )
+
+
+def way_geojsonl(
+    ways: DataFrame, nodes: DataFrame, precision: int = 7
+) -> DataFrame:
+    """(id, line): one full GeoJSON Feature per way — LineString for
+    linear ways, Polygon for area ways (S7/F9 way-geometry closure; the
+    reference's GeoJsonQueryPrinter emits exactly these two kinds for
+    ways, src/gol/query/GeoJsonQueryPrinter.h:23-28).
+
+    Properties are the sorted-key tag map; coordinates use the same
+    exact integer rendering as the node sink, so the DuckDB oracle can
+    reproduce the line byte-for-byte.
+    """
+    pt = F.concat(
+        F.lit("["), coord_str("lon100nd", precision), F.lit(","),
+        coord_str("lat100nd", precision), F.lit("]"),
+    )
+    per_way = _way_body(ways, nodes, pt, ",")
+    geometry = F.when(
+        F.col("as_area"),
+        F.concat(
+            F.lit('{"type":"Polygon","coordinates":[['),
+            F.col("body"), F.lit("]]}"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('{"type":"LineString","coordinates":['),
+            F.col("body"), F.lit("]}"),
+        )
+    )
+    return per_way.select(
+        "id",
+        F.concat(
+            F.lit('{"type":"Feature","id":'), F.col("id").cast("string"),
+            F.lit(',"properties":'), _sorted_tag_props_json(),
+            F.lit(',"geometry":'), geometry, F.lit("}"),
+        ).alias("line"),
     )
 
 
@@ -155,6 +220,68 @@ def node_csv(nodes: DataFrame, keys: list[str], precision: int = 7) -> DataFrame
 
 _XML_ESC = ("replace(replace(replace(replace({0}, '&', '&amp;'), "
             "'<', '&lt;'), '>', '&gt;'), '\"', '&quot;')")
+
+def _xml_tag_body() -> Column:
+    """Sorted-key ``<tag k v/>`` body (deterministic spec; keys/values
+    escaped).  Built lazily — F.expr needs an active session."""
+    return F.expr(
+        "array_join(transform(array_sort(map_entries(tags)), "
+        "e -> concat('<tag k=\"', " + _XML_ESC.format("e.key")
+        + ", '\" v=\"', " + _XML_ESC.format("e.value")
+        + ", '\"/>')), '')"
+    )
+
+
+def way_xml(ways: DataFrame) -> DataFrame:
+    """(id, line): OSM-XML ``<way>`` elements with the ``<nd ref>`` body
+    the reference's XmlQueryPrinter emits (XmlQueryPrinter.cpp:203-215)
+    — member node ids in stored order, then sorted escaped tags."""
+    nd_body = F.expr(
+        "array_join(transform(node_ids, "
+        "n -> concat('<nd ref=\"', CAST(n AS STRING), '\"/>')), '')"
+    )
+    return ways.select(
+        "id",
+        F.concat(
+            F.lit('<way id="'), F.col("id").cast("string"), F.lit('">'),
+            nd_body, _xml_tag_body(), F.lit("</way>"),
+        ).alias("line"),
+    )
+
+
+def relation_xml(relations: DataFrame) -> DataFrame:
+    """(id, line): OSM-XML ``<relation>`` elements with ``<member>``
+    bodies (type/ref/role, stored member order) + sorted escaped tags —
+    the relation half of XmlQueryPrinter.cpp:203-215."""
+    mem_body = F.expr(
+        "array_join(transform(members, m -> concat("
+        "'<member type=\"', element_at(array('node','way','relation'), "
+        "CAST(m.t AS INT) + 1), '\" ref=\"', CAST(m.id AS STRING), "
+        "'\" role=\"', " + _XML_ESC.format("coalesce(m.role, '')")
+        + ", '\"/>')), '')"
+    )
+    return relations.select(
+        "id",
+        F.concat(
+            F.lit('<relation id="'), F.col("id").cast("string"),
+            F.lit('">'), mem_body, _xml_tag_body(), F.lit("</relation>"),
+        ).alias("line"),
+    )
+
+
+def way_csv(
+    ways: DataFrame, nodes: DataFrame, keys: list[str], precision: int = 7
+) -> DataFrame:
+    """Way CSV rows with a ``geom`` WKT column (the reference added
+    ``geom`` to CSV output in v2.2.2, doc/releases/v2.2.2.md) plus the
+    -k projected tag columns."""
+    wkt = way_wkt(ways, nodes, precision)
+    tagged = ways.select(
+        "id", *[F.col("tags").getItem(k).alias(k) for k in keys]
+    )
+    return tagged.join(wkt, "id").select(
+        "id", F.col("wkt").alias("geom"), *keys
+    )
 
 
 def node_xml(nodes: DataFrame, precision: int = 7) -> DataFrame:
@@ -278,6 +405,60 @@ def format_result(
         f"invalid format: {fmt!r} (expected one of "
         f"brief, count, list, table, geojson, geojsonl, json, jsonl, "
         f"ndjson, wkt, csv, xml)"
+    )
+
+
+def format_way_result(
+    ways: DataFrame,
+    nodes: DataFrame,
+    fmt: str,
+    keys: list[str] | None = None,
+    precision: int = 7,
+):
+    """-f dispatch for WAY results (id, node_ids, tags) — the way half
+    of the reference's printer dispatch (QueryCommand.cpp:103-148), with
+    full geometry: GeoJSON LineString/Polygon, WKT, XML ``<nd>`` bodies,
+    CSV ``geom``.  ``nodes`` = projected node frame for coordinates.
+    """
+    fmt = {"json": "geojson", "jsonl": "geojsonl", "ndjson": "geojsonl",
+           "table": "list"}.get(fmt.lower(), fmt.lower())
+    if fmt == "count":
+        return count_result(ways)
+    if fmt == "list":
+        return id_list(ways.withColumn("ftype", F.lit(1)))
+    if fmt == "brief":
+        return node_brief(ways.withColumn("ftype", F.lit(1)))
+    if fmt == "geojsonl":
+        return way_geojsonl(ways, nodes, precision).select("line")
+    if fmt == "geojson":
+        return (
+            way_geojsonl(ways, nodes, precision)
+            .agg(
+                F.concat(
+                    F.lit('{"type":"FeatureCollection","features":['),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("id", "line"))
+                            ),
+                            lambda s: s["line"],
+                        ),
+                        ",",
+                    ),
+                    F.lit("]}"),
+                ).alias("line")
+            )
+        )
+    if fmt == "wkt":
+        return way_wkt(ways, nodes, precision).select("wkt")
+    if fmt == "csv":
+        return way_csv(ways, nodes, keys or [], precision)
+    if fmt == "xml":
+        return way_xml(ways).select("line")
+    raise InvalidFormatError(
+        f"invalid way format: {fmt!r} (expected one of brief, count, "
+        f"list, table, geojson, geojsonl, json, jsonl, ndjson, wkt, "
+        f"csv, xml)"
     )
 
 
