@@ -437,6 +437,34 @@ def _q_p1_goql_numeric(spark, sf):
     )
 
 
+def _q_p1_goql_units(spark, sf):
+    """F6 unit-suffixed numeric values: a deterministic third of the
+    maxspeed values gain ' mph' / ' km/h' suffixes, then BOTH the
+    numeric-equality edge ([maxspeed=50] must match '50' AND '50 mph')
+    and a range clause run through the real matcher.  Values compare by
+    their leading number (GOQL spec "Using numbers in queries"; OSM
+    maxspeed carries unit suffixes in the wild)."""
+    from geodesk_gol_spark.query.goql import goql_to_column
+
+    c = ctx(spark, sf)
+    decorated = c["store"].filter(~F.col("is_ghost")).withColumn(
+        "tags",
+        F.expr(
+            "transform_values(tags, (k, v) -> CASE "
+            "WHEN k = 'maxspeed' AND id % 3 = 0 THEN v || ' mph' "
+            "WHEN k = 'maxspeed' AND id % 3 = 1 THEN v || ' km/h' "
+            "ELSE v END)"
+        ),
+    )
+    eq = decorated.filter(goql_to_column("n[maxspeed=50]")).select(
+        "typed_id", F.lit("eq").alias("clause")
+    )
+    rng = decorated.filter(
+        goql_to_column("n[maxspeed>=30][maxspeed<50]")
+    ).select("typed_id", F.lit("range").alias("clause"))
+    return eq.unionByName(rng).distinct()
+
+
 def _q_j_exceptions(spark, sf):
     """U2 exceptions through the REAL resolver: self-references are
     dropped (Sorter.cpp:490-499), missing members partially resolve and
@@ -1394,6 +1422,13 @@ def _pbf_fixture_path(spark, sf) -> str:
             c["feats"]["ways"].filter(F.col("id") <= _PBF_ID_CAP)
             .select("id", "node_ids", "tags").orderBy("id").collect()
         )
+        # relation ids live in banded ranges (sqlgen.CUST_REL_BASE+…);
+        # cap the LOW bits so each band contributes O(1) rows at any sf
+        rrows = (
+            c["feats"]["relations"]
+            .filter(F.col("id") % 10_000_000 <= _PBF_ID_CAP)
+            .select("id", "members", "tags").orderBy("id").collect()
+        )
         tmp = d / f"fixture.osm.pbf.tmp.{os.getpid()}"
         write_pbf(
             str(tmp),
@@ -1401,6 +1436,12 @@ def _pbf_fixture_path(spark, sf) -> str:
                     dict(r.tags or {})) for r in nrows],
             ways=[(r.id, list(r.node_ids), dict(r.tags or {}))
                   for r in wrows],
+            relations=[
+                (r.id,
+                 [(int(m.t), int(m.id), m.role) for m in r.members],
+                 dict(r.tags or {}))
+                for r in rrows
+            ],
         )
         os.replace(tmp, path)
     return str(path)
@@ -1432,6 +1473,84 @@ def _q_s1_pbf_ways(spark, sf):
     return read_pbf(spark, path, "ways").select(
         F.col("id").alias("way_id"),
         F.posexplode("node_ids").alias("seq", "node_id"),
+    )
+
+
+def _q_s1_pbf_relations(spark, sf):
+    """S1 (PBF half), relation decode: delta-coded memids + role/type
+    columns through the string table (OsmPbfReader.h:232-262) →
+    exploded (rel_id, seq, member_type, member_id, role) rows, checked
+    against the independent relation-members derivation from the base
+    tables.  Round-trip equality certifies the packed-field codec and
+    the member-order invariant."""
+    from geodesk_gol_spark.sources.pbf import read_pbf
+
+    path = _pbf_fixture_path(spark, sf)
+    return (
+        read_pbf(spark, path, "relations")
+        .select(
+            F.col("id").alias("rel_id"),
+            F.posexplode("members").alias("seq", "m"),
+        )
+        .select(
+            "rel_id", "seq",
+            F.col("m.t").cast("int").alias("member_type"),
+            F.col("m.id").alias("member_id"),
+            F.col("m.role").alias("role"),
+        )
+    )
+
+
+def _q_s1_pbf_build_store(spark, sf):
+    """The literal ``gol build file.osm.pbf`` chained end-to-end: PBF
+    wire decode (executor-side mapInPandas) → Mercator projection →
+    density tile pyramid → home/ghost assignment → compiled store rows,
+    reported as per-tile (n_rows, n_ghosts) counts.  One gate row
+    certifying the whole ingestion path the reference's ``gol build``
+    runs (doc/gol/build.md; Sorter.cpp pipeline).  The oracle recomputes
+    pyramid + homes + ghosts from the base tables in pure SQL with the
+    same id cap.  Relations are decoded but excluded from the store here
+    (their band ids exceed the node cap, so member resolution against
+    the capped node set is vacuous; relation assignment is gated
+    full-corpus by j5/j6/s5)."""
+    from geodesk_gol_spark.config import BuildSettings
+    from geodesk_gol_spark.functions.mercator import with_projection
+    from geodesk_gol_spark.operators.assign import assign_features
+    from geodesk_gol_spark.operators.compile_tiles import compile_feature_rows
+    from geodesk_gol_spark.plans.pyramid import build_tile_catalog
+    from geodesk_gol_spark.sources.pbf import read_pbf
+
+    path = _pbf_fixture_path(spark, sf)
+    lineage = [
+        F.lit(None).cast("string").alias("doc_id"),
+        F.lit(None).cast("int").alias("span_seq"),
+    ]
+    nodes = read_pbf(spark, path, "nodes").select(
+        "id",
+        F.expr("lon_nd div 100").cast("int").alias("lon100nd"),
+        F.expr("lat_nd div 100").cast("int").alias("lat100nd"),
+        "tags", *lineage,
+    )
+    ways = read_pbf(spark, path, "ways").select(
+        "id", "node_ids", "tags", *lineage
+    )
+    rels = spark.createDataFrame(
+        [],
+        "id long, members array<struct<t:tinyint,id:bigint,role:string>>, "
+        "tags map<string,string>, doc_id string, span_seq int",
+    )
+    feats = {"nodes": nodes, "ways": ways, "relations": rels}
+    catalog = build_tile_catalog(
+        with_projection(nodes), BuildSettings.for_fixture(DENSITY)
+    )
+    asn = assign_features(feats, catalog)
+    store = compile_feature_rows(
+        asn["feature_tiles"], asn["points"], asn["extents"],
+        nodes, ways, rels,
+    )
+    return store.groupBy("tile_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("is_ghost").cast("int")).cast("long").alias("n_ghosts"),
     )
 
 
@@ -1707,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_goql_quoted_key": _q_p1_goql_quoted_key,
         "p1_goql_negation": _q_p1_goql_negation,
         "p1_goql_numeric": _q_p1_goql_numeric,
+        "p1_goql_units": _q_p1_goql_units,
         "p3_area_wkt": _q_p3_area_wkt,
         "p_query_composed": _q_p_query_composed,
         "j_exceptions": _q_j_exceptions,
@@ -1745,6 +1865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["j14_way_within"] = _q_j14_way_within
     q["s1_pbf_nodes"] = _q_s1_pbf_nodes
     q["s1_pbf_ways"] = _q_s1_pbf_ways
+    q["s1_pbf_relations"] = _q_s1_pbf_relations
+    q["s1_pbf_build_store"] = _q_s1_pbf_build_store
     q["u_copy_tiles"] = _q_u_copy_tiles
     q["s_install_archive"] = _q_s_install_archive
     q["f9_geojson_ways"] = _q_f9_geojson_ways
@@ -1770,7 +1892,8 @@ _DRIVER_PRIORITY = [
     "text_fingerprint", "text_langid", "text_quality",
     # -- new in round 5 (never sampled) --
     "f9_geojson_ways", "f9_relation_multipolygon", "f9_xml_bodies",
-    "f9_csv_geom",
+    "f9_csv_geom", "s1_pbf_relations", "s1_pbf_build_store",
+    "p1_goql_units",
     # -- latest stamp is round 3 (oldest remaining; fills the 50) --
     "s1_parse_nodes", "s2_span_sequence", "j1_node_tiles",
     "j3_way_homes", "j4_way_ghosts", "j5_relation_homes",
@@ -2097,6 +2220,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE TRY_CAST(maxspeed AS DOUBLE) >= 50
               AND TRY_CAST(maxspeed AS DOUBLE) < 70
         """,
+        "p1_goql_units": f"""
+            WITH n AS (
+              SELECT id, CASE WHEN id % 3 = 0 THEN maxspeed || ' mph'
+                              WHEN id % 3 = 1 THEN maxspeed || ' km/h'
+                              ELSE maxspeed END AS ms
+              FROM ({sqlgen.nodes_select()}) WHERE maxspeed IS NOT NULL
+            ),
+            p AS (
+              SELECT id, TRY_CAST(regexp_extract(
+                ms, '^\\s*(-?\\d+(?:\\.\\d+)?)', 1) AS DOUBLE) AS num
+              FROM n
+            )
+            SELECT id * 4 AS typed_id, 'eq' AS clause FROM p WHERE num = 50
+            UNION ALL
+            SELECT id * 4, 'range' FROM p WHERE num >= 30 AND num < 50
+        """,
         # parse_box("7,43,9,44") projects the corners with the same
         # shared SQL; nodes are points, so extent-intersects = inclusive
         # point-in-box (y DECREASES with lat: 44°N is the miny corner)
@@ -2320,6 +2459,63 @@ def oracle_sql() -> dict[str, str]:
     o["s1_pbf_ways"] = f"""
         SELECT way_id, seq, node_id
         FROM ({sqlgen.way_members_select()}) WHERE way_id <= {_PBF_ID_CAP}
+    """
+    o["s1_pbf_relations"] = f"""
+        WITH m AS ({sqlgen.relation_members_select()}),
+             s AS ({sqlgen.super_relation_members_select()}),
+             allm AS (
+               SELECT rel_id, seq, member_type, member_id,
+                      CASE WHEN seq = 0 THEN 'outer' ELSE 'inner' END AS role
+               FROM m
+               UNION ALL
+               SELECT rel_id, seq, member_type, member_id, 'subarea' FROM s
+             )
+        SELECT rel_id, seq, CAST(member_type AS INT) AS member_type,
+               member_id, role
+        FROM allm WHERE rel_id % 10000000 <= {_PBF_ID_CAP}
+    """
+    # the end-to-end build: pyramid + node tiles + way homes + ghosts
+    # recomputed over the SAME capped id set, pure SQL.  Ways keep the
+    # member nodes that exist under the cap (both engines inner-join
+    # members to the capped node set), matching the engine's
+    # n_resolved-based extents.
+    o["s1_pbf_build_store"] = f"""
+        WITH nodes AS (SELECT * FROM ({sqlgen.nodes_select()})
+                       WHERE id <= {_PBF_ID_CAP}),
+        {sqlgen.pyramid_ctes("nodes", DENSITY)},
+        {sqlgen.cell_tile_cte()},
+        wext AS (
+          SELECT wm.way_id AS id,
+                 min(n.cell_col) AS minc, min(n.cell_row) AS minr,
+                 max(n.cell_col) AS maxc, max(n.cell_row) AS maxr
+          FROM ({sqlgen.way_members_select()}) wm
+          JOIN nodes n ON n.id = wm.node_id
+          WHERE wm.way_id <= {_PBF_ID_CAP}
+          GROUP BY wm.way_id
+        ),
+        {sqlgen.home_tiles_ctes("wext", "w")},
+        ghosts AS (
+          SELECT DISTINCT wm.way_id * 4 + 1 AS typed_id,
+                 ct.tile_id AS tile_id
+          FROM ({sqlgen.way_members_select()}) wm
+          JOIN nodes n ON n.id = wm.node_id
+          JOIN cell_tile ct ON ct.c = n.cell_col AND ct.r = n.cell_row
+          WHERE wm.way_id <= {_PBF_ID_CAP}
+            AND NOT EXISTS (SELECT 1 FROM w_homes h
+                            WHERE h.id = wm.way_id
+                              AND h.tile_id = ct.tile_id)
+        ),
+        ft AS (
+          SELECT ct.tile_id AS tile_id, FALSE AS is_ghost
+          FROM nodes n
+          JOIN cell_tile ct ON ct.c = n.cell_col AND ct.r = n.cell_row
+          UNION ALL SELECT tile_id, FALSE FROM w_homes
+          UNION ALL SELECT tile_id, TRUE FROM ghosts
+        )
+        SELECT tile_id, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN is_ghost THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_ghosts
+        FROM ft GROUP BY tile_id
     """
     # J11: same exact-integer even-odd ray-cast, derived directly from
     # the base tables (bbox candidates instead of the engine's

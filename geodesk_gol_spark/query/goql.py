@@ -122,6 +122,19 @@ def _split_values(raw: str) -> list[str]:
     return [v for v in (x.strip() for x in out) if v]
 
 
+_NUM_LITERAL_RE = re.compile(r"-?\d+(?:\.\d+)?")
+
+
+def _leading_num(tag: Column) -> Column:
+    """The value's leading number as double ('50 mph' → 50.0; '50' →
+    50.0; 'walk' → NULL).  regexp_extract yields '' on no match and
+    try_cast('') is NULL, so non-numeric values drop out of every
+    numeric clause."""
+    return F.regexp_extract(
+        tag, r"^\s*(-?\d+(?:\.\d+)?)", 1
+    ).try_cast("double")
+
+
 def _value_clause(key: str, op: str, raw: str) -> Column:
     tag = F.col("tags").getItem(key)
     if op in ("~", "!~"):
@@ -136,7 +149,18 @@ def _value_clause(key: str, op: str, raw: str) -> Column:
         alts = []
         for item in _split_values(raw):
             val, quoted = _unquote(item)
-            if not quoted and "*" in val:
+            if not quoted and _NUM_LITERAL_RE.fullmatch(val):
+                # unquoted numeric comparand compares NUMERICALLY against
+                # the value's leading number, so [maxspeed=50] matches
+                # '50', '50.0' and '50 mph' (unit-suffixed OSM values;
+                # GOQL spec "Using numbers in queries" — quoted '50'
+                # stays string-exact).  coalesce(False): a non-numeric
+                # value is a definite non-match, never a null that would
+                # poison a NOT over a value list.
+                alts.append(F.coalesce(
+                    _leading_num(tag) == float(val), F.lit(False)
+                ))
+            elif not quoted and "*" in val:
                 pat = val.replace("%", r"\%").replace("_", r"\_").replace("*", "%")
                 alts.append(tag.like(pat))
             else:
@@ -150,9 +174,11 @@ def _value_clause(key: str, op: str, raw: str) -> Column:
             return tag.isNotNull() & pos
         # negative clause: absent key also matches (v2.2.3.md semantics)
         return tag.isNull() | ~pos
-    # numeric comparison: non-numeric tag values never match
+    # numeric comparison: values compare by their LEADING number ('50
+    # mph' → 50), so unit-suffixed OSM values participate; values with
+    # no leading number ('walk') never match
     val, _ = _unquote(raw)
-    num = tag.try_cast("double")
+    num = _leading_num(tag)
     try:
         fval = float(val)
     except ValueError as e:
