@@ -786,6 +786,16 @@ def assign_features(
     rel_homes = home_tiles(rel_ext, catalog).join(
         rel_ext.select("typed_id", "level"), "typed_id"
     )
+    # way_homes is the last lazily-persisted frame shared by two of the
+    # returned outputs (feature_tiles and way_ghosts); materialize it
+    # here so callers checkpointing the outputs concurrently scan the
+    # cache instead of racing first-computations through the
+    # survivor-lookup UDF stage.  Only THIS frame is staged: also
+    # pre-counting its parents (assigned/wext) serializes work the
+    # scheduler overlaps fine on its own (A/B at sf0.1 local[32]:
+    # cold assign 14.1 s staged-way_homes-only, reproducible, vs
+    # 15.0-18.3 s unstaged and 16.9-27.0 s all-three-staged)
+    way_homes.count()
 
     feature_tiles = (
         node_tiles.select("typed_id", "tile_id", "is_ghost", "twin")
