@@ -797,7 +797,11 @@ def main() -> None:
         return int(f[8]), sum(int(x) for x in f[1:11])
 
     max_steal = float(os.environ.get("SPARK_GRAFT_MAX_STEAL_PCT", "2"))
-    retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
+    # default 4 (up to 5 runs): ambient steal on this VM arrives in
+    # multi-minute storms, so two extra chances to land a clean window
+    # are cheap insurance — the ≤max_steal early-stop below keeps the
+    # quiet-machine cost at exactly two runs
+    retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "4"))
     best, best_steal = None, None
     run_log: list[dict] = []
     for attempt in range(1 + retries):
