@@ -203,3 +203,40 @@ def test_format_way_result_dispatch(spark):
         "id", "geom", "name"]
     with pytest.raises(InvalidFormatError):
         format_way_result(ways, proj, "nope")
+
+
+def test_map_sink_renders_way_and_relation_geometry(nested):
+    """S9 geometry closure by composition: the Leaflet sink consumes
+    GeoJSON Feature lines through a generic L.geoJSON layer
+    (MapCommand.cpp:133-258 renders the same layer kinds), so the
+    way/relation formatters light it up with no sink change — pin that
+    LineString/Polygon/MultiPolygon features all reach the HTML."""
+    from geodesk_gol_spark.query.formats import way_geojsonl
+    from geodesk_gol_spark.query.geometry import (
+        relation_multipolygon_geojson,
+    )
+    from geodesk_gol_spark.query.map import render_map
+
+    proj, ways, rels = nested
+    # untagged closed rings format as LineString (F7 rule table); tag
+    # one ring as an area so the Polygon branch is exercised too
+    ways = ways.withColumn(
+        "tags",
+        F.when(F.col("id") == 104, F.create_map(F.lit("building"),
+                                                F.lit("yes")))
+        .otherwise(F.col("tags")),
+    )
+    open_way = ways.sparkSession.createDataFrame(
+        [(200, [0, 1, 2], {"highway": "path"}, "d", 0)],
+        ways.schema,
+    )
+    mp = relation_multipolygon_geojson(rels, ways, proj).selectExpr(
+        "concat('{\"type\":\"Feature\",\"id\":', rel_id, "
+        "',\"properties\":{},\"geometry\":', geometry, '}') as line"
+    )
+    lines = way_geojsonl(ways.union(open_way), proj).select("line").union(mp)
+    html = render_map(lines, title="geom map")
+    assert '"type":"Polygon"' in html        # closed square rings
+    assert '"type":"LineString"' in html     # the open 3-node way
+    assert '"type":"MultiPolygon"' in html   # stitched relation
+    assert "L.geoJSON" in html
