@@ -1280,6 +1280,26 @@ def _q_f9_relation_multipolygon(spark, sf):
     )
 
 
+def _q_f9_relation_wkt(spark, sf):
+    """F9 relation geometry, WKT dialect, through the -f csv dispatcher
+    (id, geom, -k name): the SAME ring assembly as
+    f9_relation_multipolygon rendered as ``MULTIPOLYGON ((...))``, and
+    the every-feature-prints contract — relations whose members form no
+    closed ring keep their row with ``GEOMETRYCOLLECTION EMPTY``
+    (reference CSV geom column: doc/releases/v2.2.2.md)."""
+    from geodesk_gol_spark.functions.areas import relation_is_area
+    from geodesk_gol_spark.query.formats import format_relation_result
+
+    c = ctx(spark, sf)
+    rels = c["feats"]["relations"].filter(
+        relation_is_area()
+        & F.expr("exists(members, m -> m.role = 'outer')")
+    )
+    return format_relation_result(
+        rels, c["feats"]["ways"], c["proj"], "csv", keys=["name"]
+    )
+
+
 def _q_f9_xml_bodies(spark, sf):
     """S7 XML bodies: <way> elements with <nd ref> members and
     <relation> elements with <member type/ref/role> bodies
@@ -1871,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["s_install_archive"] = _q_s_install_archive
     q["f9_geojson_ways"] = _q_f9_geojson_ways
     q["f9_relation_multipolygon"] = _q_f9_relation_multipolygon
+    q["f9_relation_wkt"] = _q_f9_relation_wkt
     q["f9_xml_bodies"] = _q_f9_xml_bodies
     q["f9_csv_geom"] = _q_f9_csv_geom
     return {k: q[k] for k in _registry_order(q)}
@@ -1892,8 +1913,8 @@ _DRIVER_PRIORITY = [
     "text_fingerprint", "text_langid", "text_quality",
     # -- new in round 5 (never sampled) --
     "f9_geojson_ways", "f9_relation_multipolygon", "f9_xml_bodies",
-    "f9_csv_geom", "s1_pbf_relations", "s1_pbf_build_store",
-    "p1_goql_units",
+    "f9_csv_geom", "f9_relation_wkt", "s1_pbf_relations",
+    "s1_pbf_build_store", "p1_goql_units",
     # -- latest stamp is round 3 (oldest remaining; fills the 50) --
     "s1_parse_nodes", "s2_span_sequence", "j1_node_tiles",
     "j3_way_homes", "j4_way_ghosts", "j5_relation_homes",
@@ -2964,7 +2985,9 @@ def oracle_sql() -> dict[str, str]:
     )
     _vlon = sqlgen.coord_str_expr("lon100nd", 7)
     _vlat = sqlgen.coord_str_expr("lat100nd", 7)
-    o["f9_relation_multipolygon"] = f"""
+    # shared assembly CTEs for BOTH relation-geometry oracles (the
+    # GeoJSON and WKT dialects differ only in ring/poly/top text)
+    _mp_prefix = f"""
         WITH nodes AS ({sqlgen.nodes_select()}),
         rmem AS (
           SELECT rm.rel_id, rm.seq, rm.member_type, rm.member_id,
@@ -2974,7 +2997,7 @@ def oracle_sql() -> dict[str, str]:
           FROM ({sqlgen.relation_members_select()}) rm
         ),
         rels AS (
-          SELECT r.id FROM ({sqlgen.relations_select()}) r
+          SELECT r.id, r.name FROM ({sqlgen.relations_select()}) r
           WHERE r.boundary IS NOT NULL
             AND EXISTS (SELECT 1 FROM rmem
                         WHERE rmem.rel_id = r.id AND rmem.role = 'outer')
@@ -3033,7 +3056,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN cont c ON c.rel_id = h.rel_id AND c.inner_way = h.way_id
             JOIN shells s ON s.rel_id = c.rel_id AND s.way_id = c.outer_way
           ) WHERE rn = 1
-        ),
+        )"""
+    o["f9_relation_multipolygon"] = _mp_prefix + f""",
         rt AS (
           SELECT rel_id, way_id,
                  '[' || string_agg('[' || {_vlon} || ',' || {_vlat} || ']',
@@ -3058,6 +3082,41 @@ def oracle_sql() -> dict[str, str]:
                '{{"type":"MultiPolygon","coordinates":[' ||
                string_agg(poly, ',' ORDER BY shell_way) || ']}}' AS geometry
         FROM polys GROUP BY rel_id
+    """
+    # WKT dialect of the same assembly + the csv dispatcher's
+    # every-feature-prints row contract (ring-less relations keep a
+    # GEOMETRYCOLLECTION EMPTY row)
+    o["f9_relation_wkt"] = _mp_prefix + f""",
+        rt AS (
+          SELECT rel_id, way_id,
+                 '(' || string_agg({_vlon} || ' ' || {_vlat},
+                                   ', ' ORDER BY seq) || ')' AS ring
+          FROM vx GROUP BY rel_id, way_id
+        ),
+        ht AS (
+          SELECT p.rel_id, p.shell_way,
+                 ', ' || string_agg(rt.ring, ', ' ORDER BY p.hole_way) AS b
+          FROM par p JOIN rt
+            ON rt.rel_id = p.rel_id AND rt.way_id = p.hole_way
+          GROUP BY p.rel_id, p.shell_way
+        ),
+        polys AS (
+          SELECT s.rel_id, s.way_id AS shell_way,
+                 '(' || rt.ring || COALESCE(ht.b, '') || ')' AS poly
+          FROM shells s
+          JOIN rt ON rt.rel_id = s.rel_id AND rt.way_id = s.way_id
+          LEFT JOIN ht ON ht.rel_id = s.rel_id AND ht.shell_way = s.way_id
+        ),
+        mp AS (
+          SELECT rel_id,
+                 'MULTIPOLYGON (' ||
+                 string_agg(poly, ', ' ORDER BY shell_way) || ')' AS wkt
+          FROM polys GROUP BY rel_id
+        )
+        SELECT rels.id AS id,
+               COALESCE(mp.wkt, 'GEOMETRYCOLLECTION EMPTY') AS geom,
+               rels.name AS name
+        FROM rels LEFT JOIN mp ON mp.rel_id = rels.id
     """
     o["f4_hilbert"] = f"""
         WITH nodes AS ({sqlgen.nodes_select()}),

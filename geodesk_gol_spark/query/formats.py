@@ -462,6 +462,109 @@ def format_way_result(
     )
 
 
+def relation_geojsonl(
+    relations: DataFrame,
+    ways: DataFrame,
+    nodes: DataFrame,
+    precision: int = 7,
+) -> DataFrame:
+    """(id, line): one full GeoJSON Feature per relation — MultiPolygon
+    geometry stitched from closed member-way rings (geometry.py spec);
+    relations with no closed member ring keep their Feature row with
+    ``"geometry":null`` (every selected feature prints exactly once,
+    like the reference's printer)."""
+    from .geometry import relation_multipolygon_geojson
+
+    geom = relation_multipolygon_geojson(relations, ways, nodes, precision)
+    return (
+        relations.select("id", "tags")
+        .join(geom.withColumnRenamed("rel_id", "id"), "id", "left")
+        .select(
+            "id",
+            F.concat(
+                F.lit('{"type":"Feature","id":'), F.col("id").cast("string"),
+                F.lit(',"properties":'), _sorted_tag_props_json(),
+                F.lit(',"geometry":'),
+                F.coalesce("geometry", F.lit("null")), F.lit("}"),
+            ).alias("line"),
+        )
+    )
+
+
+def format_relation_result(
+    relations: DataFrame,
+    ways: DataFrame,
+    nodes: DataFrame,
+    fmt: str,
+    keys: list[str] | None = None,
+    precision: int = 7,
+):
+    """-f dispatch for RELATION results (id, members, tags) — the
+    relation half of the reference's printer dispatch
+    (QueryCommand.cpp:103-148) with full MultiPolygon geometry:
+    GeoJSON Features, WKT ``MULTIPOLYGON``, XML ``<member>`` bodies,
+    CSV ``geom``.  ``ways``/``nodes`` = raw way + projected node frames
+    for ring coordinates.  Relations whose members form no closed ring
+    render ``"geometry":null`` / ``GEOMETRYCOLLECTION EMPTY`` rather
+    than dropping (count parity across formats)."""
+    from .geometry import relation_multipolygon_wkt
+
+    fmt = {"json": "geojson", "jsonl": "geojsonl", "ndjson": "geojsonl",
+           "table": "list"}.get(fmt.lower(), fmt.lower())
+    if fmt == "count":
+        return count_result(relations)
+    if fmt == "list":
+        return id_list(relations.withColumn("ftype", F.lit(2)))
+    if fmt == "brief":
+        return node_brief(relations.withColumn("ftype", F.lit(2)))
+    if fmt == "geojsonl":
+        return relation_geojsonl(relations, ways, nodes, precision).select(
+            "line"
+        )
+    if fmt == "geojson":
+        return (
+            relation_geojsonl(relations, ways, nodes, precision)
+            .agg(
+                F.concat(
+                    F.lit('{"type":"FeatureCollection","features":['),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("id", "line"))
+                            ),
+                            lambda s: s["line"],
+                        ),
+                        ",",
+                    ),
+                    F.lit("]}"),
+                ).alias("line")
+            )
+        )
+    if fmt in ("wkt", "csv"):
+        geom = relation_multipolygon_wkt(relations, ways, nodes, precision)
+        with_geom = (
+            relations.select("id", "tags")
+            .join(geom.withColumnRenamed("rel_id", "id"), "id", "left")
+            .withColumn(
+                "geom",
+                F.coalesce("wkt", F.lit("GEOMETRYCOLLECTION EMPTY")),
+            )
+        )
+        if fmt == "wkt":
+            return with_geom.select(F.col("geom").alias("wkt"))
+        return with_geom.select(
+            "id", "geom",
+            *[F.col("tags").getItem(k).alias(k) for k in (keys or [])],
+        )
+    if fmt == "xml":
+        return relation_xml(relations).select("line")
+    raise InvalidFormatError(
+        f"invalid relation format: {fmt!r} (expected one of brief, "
+        f"count, list, table, geojson, geojsonl, json, jsonl, ndjson, "
+        f"wkt, csv, xml)"
+    )
+
+
 def dump_tiles(store: DataFrame, out_dir: str) -> None:
     """Per-tile text dump — the ``gol dump-tiles`` analogue.
 

@@ -134,14 +134,35 @@ def ring_nesting(vx: DataFrame) -> tuple[DataFrame, DataFrame]:
     return contains, depth
 
 
-def _ring_text(vx: DataFrame, precision: int) -> DataFrame:
-    """(rel_id, way_id, ring) — one GeoJSON ring array per member ring:
-    ``[[lon,lat],...]`` with exact integer coordinate rendering.
+# text-style table: how one vertex, one ring, one polygon and the
+# geometry head/tail render in each output dialect.  The assembly
+# (nesting, hole attachment, ordering) is identical — only these
+# delimiters differ between GeoJSON and WKT.
+_STYLES = {
+    "geojson": dict(
+        pt=("[", ",", "]"), pt_sep=",", ring=("[", "]"), ring_sep=",",
+        poly=("[", "]"), poly_sep=",",
+        top=('{"type":"MultiPolygon","coordinates":[', "]}"),
+    ),
+    "wkt": dict(
+        pt=("", " ", ""), pt_sep=", ", ring=("(", ")"), ring_sep=", ",
+        poly=("(", ")"), poly_sep=", ",
+        top=("MULTIPOLYGON (", ")"),
+    ),
+}
+
+
+def _ring_text(vx: DataFrame, precision: int, style: str) -> DataFrame:
+    """(rel_id, way_id, ring) — one ring text per member ring in the
+    requested dialect (GeoJSON ``[[lon,lat],...]`` / WKT
+    ``(lon lat, ...)``) with exact integer coordinate rendering.
     collect_list order is shuffle-dependent; array_sort on (seq, pt)
     restores vertex order (same shape as formats.way_wkt)."""
+    s = _STYLES[style]
+    po, psep, pc = s["pt"]
     pt = F.concat(
-        F.lit("["), coord_str("lon100nd", precision), F.lit(","),
-        coord_str("lat100nd", precision), F.lit("]"),
+        F.lit(po), coord_str("lon100nd", precision), F.lit(psep),
+        coord_str("lat100nd", precision), F.lit(pc),
     )
     return (
         vx.select("rel_id", "way_id", "seq", pt.alias("pt"))
@@ -150,9 +171,10 @@ def _ring_text(vx: DataFrame, precision: int) -> DataFrame:
         .select(
             "rel_id", "way_id",
             F.concat(
-                F.lit("["),
-                F.array_join(F.expr("transform(pts, p -> p.pt)"), ","),
-                F.lit("]"),
+                F.lit(s["ring"][0]),
+                F.array_join(F.expr("transform(pts, p -> p.pt)"),
+                             s["pt_sep"]),
+                F.lit(s["ring"][1]),
             ).alias("ring"),
         )
     )
@@ -167,9 +189,37 @@ def relation_multipolygon_geojson(
     """(rel_id, geometry): the GeoJSON MultiPolygon geometry object per
     relation, assembled per the module-docstring spec.  Relations with
     zero closed member rings produce no row."""
+    return _multipolygon(
+        area_rels, ways, nodes_projected, precision, "geojson", "geometry"
+    )
+
+
+def relation_multipolygon_wkt(
+    area_rels: DataFrame,
+    ways: DataFrame,
+    nodes_projected: DataFrame,
+    precision: int = 7,
+) -> DataFrame:
+    """(rel_id, wkt): ``MULTIPOLYGON ((...))`` text per relation — the
+    same ring assembly as the GeoJSON form in WKT delimiters (feeds the
+    relation CSV ``geom`` column and the -f wkt printer)."""
+    return _multipolygon(
+        area_rels, ways, nodes_projected, precision, "wkt", "wkt"
+    )
+
+
+def _multipolygon(
+    area_rels: DataFrame,
+    ways: DataFrame,
+    nodes_projected: DataFrame,
+    precision: int,
+    style: str,
+    out_col: str,
+) -> DataFrame:
+    s = _STYLES[style]
     vx = relation_ring_vertices(area_rels, ways, nodes_projected)
     contains, depth = ring_nesting(vx)
-    rtext = _ring_text(vx, precision)
+    rtext = _ring_text(vx, precision, style)
 
     shells = depth.filter(F.col("d") % 2 == 0).select(
         "rel_id", F.col("way_id").alias("shell_way")
@@ -222,8 +272,9 @@ def relation_multipolygon_geojson(
         .select(
             "rel_id", "shell_way",
             F.concat(
-                F.lit(","),
-                F.array_join(F.expr("transform(hs, h -> h.ring)"), ","),
+                F.lit(s["ring_sep"]),
+                F.array_join(F.expr("transform(hs, h -> h.ring)"),
+                             s["ring_sep"]),
             ).alias("hole_txt"),
         )
     )
@@ -239,8 +290,8 @@ def relation_multipolygon_geojson(
         .select(
             "rel_id", "shell_way",
             F.concat(
-                F.lit("["), F.col("shell_ring"),
-                F.coalesce("hole_txt", F.lit("")), F.lit("]"),
+                F.lit(s["poly"][0]), F.col("shell_ring"),
+                F.coalesce("hole_txt", F.lit("")), F.lit(s["poly"][1]),
             ).alias("poly"),
         )
     )
@@ -252,9 +303,10 @@ def relation_multipolygon_geojson(
         .select(
             "rel_id",
             F.concat(
-                F.lit('{"type":"MultiPolygon","coordinates":['),
-                F.array_join(F.expr("transform(ps, p -> p.poly)"), ","),
-                F.lit("]}"),
-            ).alias("geometry"),
+                F.lit(s["top"][0]),
+                F.array_join(F.expr("transform(ps, p -> p.poly)"),
+                             s["poly_sep"]),
+                F.lit(s["top"][1]),
+            ).alias(out_col),
         )
     )

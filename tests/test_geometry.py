@@ -240,3 +240,48 @@ def test_map_sink_renders_way_and_relation_geometry(nested):
     assert '"type":"LineString"' in html     # the open 3-node way
     assert '"type":"MultiPolygon"' in html   # stitched relation
     assert "L.geoJSON" in html
+
+
+def test_format_relation_result_dispatch(nested):
+    """The relation -f dispatcher: every format renders, geometry is
+    the stitched MultiPolygon (GeoJSON + WKT dialects of the SAME
+    assembly), ring-less relations keep their row with null/EMPTY
+    geometry (count parity across formats)."""
+    from geodesk_gol_spark.query.formats import (
+        InvalidFormatError, format_relation_result)
+
+    proj, ways, rels = nested
+    # add a relation whose only member way is open -> no rings
+    ringless = rels.sparkSession.createDataFrame(
+        [(901, [(1, 200, "outer")], {"type": "multipolygon"}, "d", 0)],
+        rels.schema,
+    )
+    rels2 = rels.union(ringless)
+    assert format_relation_result(rels2, ways, proj, "count") == 2
+    lines = format_relation_result(rels2, ways, proj, "list").collect()
+    assert sorted(r.line for r in lines) == ["r900", "r901"]
+    jl = {json.loads(r.line)["id"]: json.loads(r.line)
+          for r in format_relation_result(
+              rels2, ways, proj, "geojsonl").collect()}
+    assert jl[900]["geometry"]["type"] == "MultiPolygon"
+    assert len(jl[900]["geometry"]["coordinates"]) == 3
+    assert jl[901]["geometry"] is None
+    fc = json.loads(format_relation_result(
+        rels2, ways, proj, "geojson").collect()[0].line)
+    assert fc["type"] == "FeatureCollection" and len(fc["features"]) == 2
+    wkts = sorted(r.wkt for r in format_relation_result(
+        rels2, ways, proj, "wkt").collect())
+    assert wkts[0] == "GEOMETRYCOLLECTION EMPTY"
+    assert wkts[1].startswith("MULTIPOLYGON (((")
+    # 3 polygons: shells 100 (1 hole), 102 (1 hole), 104 (no hole)
+    assert wkts[1].count ("), (") >= 2
+    csv = format_relation_result(rels2, ways, proj, "csv", keys=["type"])
+    assert csv.columns == ["id", "geom", "type"]
+    got = {r.id: r for r in csv.collect()}
+    assert got[900].geom.startswith("MULTIPOLYGON") and got[900].type == "multipolygon"
+    assert got[901].geom == "GEOMETRYCOLLECTION EMPTY"
+    xml = format_relation_result(rels2, ways, proj, "xml").collect()
+    assert any('<member type="way" ref="100" role="outer"/>' in r.line
+               for r in xml)
+    with pytest.raises(InvalidFormatError):
+        format_relation_result(rels2, ways, proj, "nope")
