@@ -98,6 +98,17 @@ def main() -> int:
         # latest-event-wins is a window + hash join, no aggregate
         "s8_change_merge": (
             ["Window"], ["CartesianProduct", "BatchEvalPython"]),
+        # r05 geometry assembly: ordered-vertex text + ring nesting are
+        # keyed joins (rel_id / way_id) + hash aggregates — the pairwise
+        # ring test is quadratic only WITHIN a relation, never across,
+        # and no Python row path touches the hot loop
+        "f9_geojson_ways": (
+            ["HashAggregate"], ["CartesianProduct", "BatchEvalPython"]),
+        "f9_relation_multipolygon": (
+            ["HashAggregate"], ["CartesianProduct", "BatchEvalPython"]),
+        "f9_relation_wkt": (
+            ["HashAggregate"], ["CartesianProduct", "BatchEvalPython"]),
+        "p1_goql_units": ([], ["CartesianProduct", "BatchEvalPython"]),
     }
     lines = ["# Physical plans (generated by tools/plan_audit.py)", ""]
     failures = []
