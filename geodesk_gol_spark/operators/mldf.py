@@ -844,16 +844,24 @@ def dedup_embed_cosine(emb: DataFrame, planes: list[list[float]],
         .select(F.col("vec_id").alias("va"), "vb")
         .distinct()
     )
-    score = (
-        _dot_cols("ea", "eb")
-        / (F.sqrt(_dot_cols("ea", "ea")) * F.sqrt(_dot_cols("eb", "eb")))
-    )
+    # norms are computed ONCE PER VECTOR before the pair join (n sqrt
+    # chains, not |pairs|), and the pair projection carries a single
+    # 64-term chain: inlining all three dots per pair put ~192
+    # multiply-adds in one generated method, tripping janino's 64 KB
+    # method limit and silently dropping the stage to interpreted mode.
+    # Same FP ops in the same association order — bit-identical score.
+    normed = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(_dot_cols("embedding", "embedding")).alias("nrm"))
+    score = _dot_cols("ea", "eb") / (F.col("na") * F.col("nb"))
     return (
         cand
-        .join(emb.select(F.col("vec_id").alias("va"),
-                         F.col("embedding").alias("ea")), "va")
-        .join(emb.select(F.col("vec_id").alias("vb"),
-                         F.col("embedding").alias("eb")), "vb")
+        .join(normed.select(F.col("vec_id").alias("va"),
+                            F.col("embedding").alias("ea"),
+                            F.col("nrm").alias("na")), "va")
+        .join(normed.select(F.col("vec_id").alias("vb"),
+                            F.col("embedding").alias("eb"),
+                            F.col("nrm").alias("nb")), "vb")
         .select(F.col("va").alias("vec_a"), F.col("vb").alias("vec_b"),
                 score.alias("score"))
         .filter(F.col("score") * 1000 >= tau_milli)
