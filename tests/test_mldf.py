@@ -238,6 +238,23 @@ def test_embed_cosine_df_matches_template(spark):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_embed_cosine_stays_compiled(spark):
+    # regression pin: inlining all three 64-term dot chains per pair once
+    # blew janino's 64 KB method limit when the score projection fused
+    # into the candidate-distinct hashAgg's output method, and the stage
+    # silently ran interpreted.  Must MATERIALIZE every column through
+    # the real gate callable — .count() prunes the projection away and
+    # compiles even the bad shape.  fallback=false turns any future
+    # codegen failure here into a hard error instead of a slowdown.
+    import __spark_entry__ as e
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        assert len(e.queries()["dedup_embed_cosine"](spark, SF)
+                   .toPandas()) > 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
+
+
 def test_change_merge_window_agg_df_match_templates(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
