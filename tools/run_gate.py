@@ -7,6 +7,7 @@ all columns), like the driver's CORRECTNESS gate.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -33,6 +34,11 @@ def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
     spark = get_spark("local[8]", app_name="gate-check")
+    if os.environ.get("SPARK_GRAFT_STRICT_CODEGEN"):
+        # audit mode: any janino/codegen failure anywhere in any gate
+        # plan becomes a hard ENGINE ERROR instead of Spark's silent
+        # interpreted-mode fallback (which is correct but slow at scale)
+        spark.conf.set("spark.sql.codegen.fallback", "false")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
