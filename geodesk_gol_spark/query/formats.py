@@ -108,28 +108,35 @@ def _way_body(
     Spark shape: explode node list with position, join node coords,
     re-sort inside the array (collect_list order is shuffle-dependent —
     array_sort on (seq, text) restores the span order invariant).
+
+    Every input way keeps its row: a way whose node refs resolve to
+    ZERO rows in ``nodes`` (dangling refs in a real extract, empty
+    node list, pre-filtered node projection) comes back with
+    ``body`` NULL instead of vanishing — the printers render an
+    empty-geometry form so count parity holds across formats (the
+    same contract format_relation_result keeps for ring-less
+    relations).
     """
     from ..functions.areas import way_is_area
 
-    wm = ways.select(
-        "id",
-        "tags",
-        way_is_area().alias("as_area"),
-        F.posexplode("node_ids").alias("seq", "node_id"),
-    )
+    wm = ways.select("id", F.posexplode("node_ids").alias("seq", "node_id"))
     coords = nodes.select(F.col("id").alias("node_id"), pt.alias("pt"))
-    return (
+    agg = (
         wm.join(coords, "node_id")
-        # maps are not orderable ⇒ not groupable; carry tags via first()
-        .groupBy("id", "as_area")
+        .groupBy("id")
         .agg(
-            F.first("tags").alias("tags"),
             F.array_sort(F.collect_list(F.struct("seq", "pt"))).alias("pts"),
         )
         .withColumn(
             "body", F.array_join(F.expr("transform(pts, p -> p.pt)"), sep)
         )
     )
+    base = ways.select(
+        "id",
+        F.coalesce(F.col("tags"), F.expr("map()")).alias("tags"),
+        way_is_area().alias("as_area"),
+    )
+    return base.join(agg.select("id", "body"), "id", "left")
 
 
 def way_wkt(
@@ -150,6 +157,11 @@ def way_wkt(
     return per_way.select(
         "id",
         F.when(
+            F.col("body").isNull(),
+            F.when(F.col("as_area"), F.lit("POLYGON EMPTY"))
+            .otherwise(F.lit("LINESTRING EMPTY")),
+        )
+        .when(
             F.col("as_area"), F.concat(F.lit("POLYGON (("), F.col("body"), F.lit("))"))
         )
         .otherwise(F.concat(F.lit("LINESTRING ("), F.col("body"), F.lit(")")))
@@ -161,11 +173,13 @@ def _sorted_tag_props_json() -> "F.Column":
     """Tag map → JSON object text with SORTED keys (deterministic across
     shuffles and engines; the reference prints tag-table storage order,
     our documented spec is sorted keys — same deviation node_brief
-    makes).  Values are inserted verbatim: the corpus synthesizes no
-    JSON-special characters (matching _PROPS_JSON's convention)."""
+    makes).  Keys/values are JSON-escaped via to_json (map_from_entries
+    preserves the sorted entry order), matching the node printer's
+    convention; a NULL tag map renders ``{}`` so the line itself can
+    never go NULL (count == lines across formats)."""
     return F.expr(
-        "concat('{', array_join(transform(array_sort(map_entries(tags)), "
-        "e -> concat('\"', e.key, '\":\"', e.value, '\"')), ','), '}')"
+        "to_json(map_from_entries(array_sort("
+        "map_entries(coalesce(tags, map())))))"
     )
 
 
@@ -187,6 +201,8 @@ def way_geojsonl(
     )
     per_way = _way_body(ways, nodes, pt, ",")
     geometry = F.when(
+        F.col("body").isNull(), F.lit("null")
+    ).when(
         F.col("as_area"),
         F.concat(
             F.lit('{"type":"Polygon","coordinates":[['),
@@ -223,9 +239,11 @@ _XML_ESC = ("replace(replace(replace(replace({0}, '&', '&amp;'), "
 
 def _xml_tag_body() -> Column:
     """Sorted-key ``<tag k v/>`` body (deterministic spec; keys/values
-    escaped).  Built lazily — F.expr needs an active session."""
+    escaped; NULL tag maps render an empty body, never a NULL line).
+    Built lazily — F.expr needs an active session."""
     return F.expr(
-        "array_join(transform(array_sort(map_entries(tags)), "
+        "array_join(transform(array_sort("
+        "map_entries(coalesce(tags, map()))), "
         "e -> concat('<tag k=\"', " + _XML_ESC.format("e.key")
         + ", '\" v=\"', " + _XML_ESC.format("e.value")
         + ", '\"/>')), '')"
@@ -275,25 +293,23 @@ def way_csv(
     """Way CSV rows with a ``geom`` WKT column (the reference added
     ``geom`` to CSV output in v2.2.2, doc/releases/v2.2.2.md) plus the
     -k projected tag columns."""
+    # ONE select from the joined frame, tag items pulled straight off
+    # the map: -k keys named 'id'/'geom' (reachable user input) must not
+    # create an ambiguous intermediate column reference
     wkt = way_wkt(ways, nodes, precision)
-    tagged = ways.select(
-        "id", *[F.col("tags").getItem(k).alias(k) for k in keys]
-    )
-    return tagged.join(wkt, "id").select(
-        "id", F.col("wkt").alias("geom"), *keys
+    return ways.join(wkt, "id").select(
+        "id", F.col("wkt").alias("geom"),
+        *[F.col("tags").getItem(k).alias(k) for k in keys],
     )
 
 
 def node_xml(nodes: DataFrame, precision: int = 7) -> DataFrame:
     """OSM-XML-style <node> elements (S7 xml sink).  Tag keys/values are
     XML-escaped (&, <, >, \") — name="Bar & Grill" must stay parseable,
-    as the reference's OSM-XML printer guarantees."""
-    tag_body = F.expr(
-        "array_join(transform(map_entries(tags), "
-        "e -> concat('<tag k=\"', " + _XML_ESC.format("e.key")
-        + ", '\" v=\"', " + _XML_ESC.format("e.value")
-        + ", '\"/>')), '')"
-    )
+    as the reference's OSM-XML printer guarantees.  Shares
+    ``_xml_tag_body`` with the way/relation printers: sorted keys (the
+    documented deterministic spec) and NULL-map safety in one place."""
+    tag_body = _xml_tag_body()
     return nodes.select(
         F.concat(
             F.lit('<node id="'), F.col("id").cast("string"),

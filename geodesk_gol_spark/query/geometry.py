@@ -217,8 +217,13 @@ def _multipolygon(
     out_col: str,
 ) -> DataFrame:
     s = _STYLES[style]
-    vx = relation_ring_vertices(area_rels, ways, nodes_projected)
+    # vx roots the heaviest subtree (member explode ⋈ ways ⋈ node
+    # coords) and feeds four consumers (edges, reps, all_rings, ring
+    # text); depth feeds three.  Persist both so one action computes
+    # the member joins once, not once per consumer branch.
+    vx = relation_ring_vertices(area_rels, ways, nodes_projected).persist()
     contains, depth = ring_nesting(vx)
+    depth = depth.persist()
     rtext = _ring_text(vx, precision, style)
 
     shells = depth.filter(F.col("d") % 2 == 0).select(

@@ -285,3 +285,59 @@ def test_format_relation_result_dispatch(nested):
                for r in xml)
     with pytest.raises(InvalidFormatError):
         format_relation_result(rels2, ways, proj, "nope")
+
+
+def test_null_tags_and_dangling_refs_keep_count_parity(nested):
+    """Printer hardening pins: (1) a NULL tags map must not NULL the
+    whole line (count == lines across formats); (2) a way whose node
+    refs resolve to zero rows renders an empty-geometry form instead of
+    vanishing; (3) tag values with JSON specials stay parseable."""
+    from geodesk_gol_spark.query.formats import format_way_result
+
+    proj, ways, rels = nested
+    spark = ways.sparkSession
+    extra = spark.createDataFrame(
+        [
+            # null tags, resolvable nodes
+            (300, ways.select("node_ids").first().node_ids, None, "d", 0),
+            # dangling refs: no such node ids in proj
+            (301, [999_990, 999_991, 999_992],
+             {"name": 'The "Best" \\ Bar'}, "d", 0),
+        ],
+        ways.schema,
+    )
+    allw = ways.union(extra)
+    n = allw.count()
+    lines = format_way_result(allw, proj, "geojsonl").collect()
+    assert len(lines) == n and all(r.line is not None for r in lines)
+    feats = [json.loads(r.line) for r in lines]
+    by_id = {f["id"]: f for f in feats}
+    assert by_id[300]["properties"] == {}
+    assert by_id[301]["geometry"] is None
+    assert by_id[301]["properties"]["name"] == 'The "Best" \\ Bar'
+    wkts = format_way_result(allw, proj, "wkt").collect()
+    assert len(wkts) == n
+    assert sum(w.wkt == "LINESTRING EMPTY" for w in wkts) == 1
+    xml = format_way_result(allw, proj, "xml").collect()
+    assert len(xml) == n and all(r.line is not None for r in xml)
+    # the FeatureCollection carries every feature too
+    fc = json.loads(
+        format_way_result(allw, proj, "geojson").first().line)
+    assert len(fc["features"]) == n
+    # relation printers share the null-safe helpers
+    nulltag_rel = rels.withColumn(
+        "tags", F.lit(None).cast("map<string,string>"))
+    from geodesk_gol_spark.query.formats import format_relation_result
+    rl = format_relation_result(nulltag_rel, ways, proj, "geojsonl")
+    assert [r.line is not None for r in rl.collect()] == [True]
+    rx = relation_xml(nulltag_rel).collect()
+    assert rx[0].line is not None
+
+
+def test_way_csv_key_collision_with_id_and_geom(nested):
+    """-k keys named 'id'/'geom' are reachable user input; the csv
+    printer must not raise AMBIGUOUS_REFERENCE."""
+    proj, ways, _ = nested
+    out = way_csv(ways, proj, ["id", "geom", "building"])
+    assert out.columns == ["id", "geom", "id", "geom", "building"]
+    assert out.count() == ways.count()
