@@ -341,3 +341,29 @@ def test_way_csv_key_collision_with_id_and_geom(nested):
     out = way_csv(ways, proj, ["id", "geom", "building"])
     assert out.columns == ["id", "geom", "id", "geom", "building"]
     assert out.count() == ways.count()
+
+
+def test_empty_way_and_relation_results_across_formats(nested):
+    """Mirror of the reference's empty-result invariants
+    (test/test_query.py:55-66) for the way/relation dispatchers: an
+    empty selection yields count 0, zero lines in every row-per-feature
+    format, and an empty-but-well-formed FeatureCollection."""
+    from geodesk_gol_spark.query.formats import (
+        format_relation_result,
+        format_way_result,
+    )
+
+    proj, ways, rels = nested
+    no_ways = ways.filter(F.lit(False))
+    no_rels = rels.filter(F.lit(False))
+    assert format_way_result(no_ways, proj, "count") == 0
+    for fmt in ("geojsonl", "wkt", "csv", "xml", "list", "brief"):
+        assert format_way_result(no_ways, proj, fmt).count() == 0, fmt
+    fc = json.loads(format_way_result(no_ways, proj, "geojson").first().line)
+    assert fc == {"type": "FeatureCollection", "features": []}
+    assert format_relation_result(no_rels, ways, proj, "count") == 0
+    for fmt in ("geojsonl", "wkt", "csv", "xml", "list", "brief"):
+        assert format_relation_result(no_rels, ways, proj, fmt).count() == 0, fmt
+    fc = json.loads(
+        format_relation_result(no_rels, ways, proj, "geojson").first().line)
+    assert fc == {"type": "FeatureCollection", "features": []}
