@@ -621,6 +621,17 @@ def _q_p_members_of(spark, sf):
     return members_of(c["feats"]["relations"])
 
 
+def _q_p_nodes_of(spark, sf):
+    """Way → anonymous-node navigation (the reference's way-node walk;
+    XmlQueryPrinter.cpp:203-215 emits the same ``<nd>`` stream): every
+    (way, ordinal, node, lon, lat) row, closed rings keeping their
+    repeated closing node."""
+    from geodesk_gol_spark.operators.info import nodes_of
+
+    c = ctx(spark, sf)
+    return nodes_of(c["feats"]["ways"], c["feats"]["nodes"])
+
+
 def _q_p_members_role(spark, sf):
     """Role-qualified member navigation: the reference's member queries
     accept a role filter (GoqlParser role predicates; emission
@@ -1836,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o_info_summary": _q_o_info_summary,
         "p_get_by_id": _q_p_get_by_id,
         "p_members_of": _q_p_members_of,
+        "p_nodes_of": _q_p_nodes_of,
         "p_members_role": _q_p_members_role,
         "p_parents_of": _q_p_parents_of,
         "p1_goql_highway_names": _q_p1_goql_highway_names,
@@ -1914,7 +1926,8 @@ _DRIVER_PRIORITY = [
     # -- new in round 5 (never sampled) --
     "f9_geojson_ways", "f9_relation_multipolygon", "f9_xml_bodies",
     "f9_csv_geom", "f9_relation_wkt", "s1_pbf_relations",
-    "s1_pbf_build_store", "p1_goql_units",
+    "s1_pbf_build_store", "p1_goql_units", "p_nodes_of",
+    "events_funnel", "events_retention", "ann_sq_topk",
     # -- latest stamp is round 3 (oldest remaining; fills the 50) --
     "s1_parse_nodes", "s2_span_sequence", "j1_node_tiles",
     "j3_way_homes", "j4_way_ghosts", "j5_relation_homes",
@@ -2113,6 +2126,14 @@ def oracle_sql() -> dict[str, str]:
                    member_id * 4 + member_type AS member_typed_id,
                    'outer' AS role
             FROM m WHERE seq = 0
+        """,
+        "p_nodes_of": f"""
+            WITH wm AS ({sqlgen.way_members_select()}),
+                 n AS ({sqlgen.nodes_select()})
+            SELECT wm.way_id * 4 + 1 AS way_typed_id,
+                   CAST(wm.seq AS INT) AS ordinal,
+                   wm.node_id AS node_id, n.lon100nd, n.lat100nd
+            FROM wm JOIN n ON n.id = wm.node_id
         """,
         "p_parents_of": f"""
             WITH m AS ({sqlgen.relation_members_select()})

