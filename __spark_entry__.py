@@ -1927,7 +1927,8 @@ _DRIVER_PRIORITY = [
     "f9_geojson_ways", "f9_relation_multipolygon", "f9_xml_bodies",
     "f9_csv_geom", "f9_relation_wkt", "s1_pbf_relations",
     "s1_pbf_build_store", "p1_goql_units", "p_nodes_of",
-    "events_funnel", "events_retention", "ann_sq_topk",
+    "events_funnel", "events_retention", "events_transitions",
+    "ann_sq_topk",
     # -- latest stamp is round 3 (oldest remaining; fills the 50) --
     "s1_parse_nodes", "s2_span_sequence", "j1_node_tiles",
     "j3_way_homes", "j4_way_ghosts", "j5_relation_homes",

@@ -1616,6 +1616,27 @@ def sql_ann_sq_topk(t: str, d: str, k: int = 5, n_q: int = 4,
     """
 
 
+def sql_events_transitions(t: str, d: str) -> str:
+    """Oracle for mldf.events_transitions — pairs formed by a
+    row_number self-join (the engine uses lag windows); gaps summed in
+    integer microseconds (epoch_us / unix_micros are exact BIGINTs in
+    both engines; epoch seconds would truncate in one and round in the
+    other)."""
+    return f"""
+    WITH s AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM {t}
+    )
+    SELECT a.event_type AS prev_type, b.event_type AS next_type,
+           count(*) AS n,
+           CAST(sum(b.us - a.us) AS BIGINT) AS total_gap_us
+    FROM s a JOIN s b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+    GROUP BY 1, 2
+    """
+
+
 def _df_query(fn_name: str, table: str = "documents"):
     """Engine wrapper for a single-table DataFrame program in
     operators/mldf.py — the de-shared twin of ``_sql_query``."""
@@ -1945,6 +1966,7 @@ def ml_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_incremental": _q_streaming_dedup,
         "events_funnel": _df_query("events_funnel", "events"),
         "events_retention": _df_query("events_retention", "events"),
+        "events_transitions": _df_query("events_transitions", "events"),
         "ann_sq_topk": _df_query("ann_sq_topk", "embeddings"),
     }
 
@@ -1997,5 +2019,6 @@ def ml_oracle_sql() -> dict[str, str]:
             "documents", "duck"),
         "events_funnel": sql_events_funnel("events", "duck"),
         "events_retention": sql_events_retention("events", "duck"),
+        "events_transitions": sql_events_transitions("events", "duck"),
         "ann_sq_topk": sql_ann_sq_topk("embeddings", "duck"),
     }

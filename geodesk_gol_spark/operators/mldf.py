@@ -1109,3 +1109,33 @@ def ann_sq_topk(emb: DataFrame, k: int = 5, n_q: int = 4,
         .filter(F.col("rank") <= k)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank")
     )
+
+
+def events_transitions(events: DataFrame) -> DataFrame:
+    """Clickstream path mining: the event-type bigram transition matrix
+    (prev_type, next_type, n, total_gap_us) over per-user timelines.
+
+    Dwell time sums in integer MICROSECONDS (unix_micros both engines;
+    epoch-seconds would truncate in Spark but round in DuckDB).  Ties
+    in ts break on event_id so consecutive-pair formation is
+    deterministic.  Scale shape: one user_id window shuffle forms the
+    pairs, then the transition matrix aggregate is |event types|^2 rows
+    however large the corpus.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; the session tz is pinned to UTC so the LTZ
+    # cast is instant-preserving and unix_micros == DuckDB epoch_us
+    s = events.select(
+        "user_id", "event_type", "ts",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    ).withColumn("prev_type", F.lag("event_type").over(w)) \
+     .withColumn("prev_us", F.lag("us").over(w))
+    return (
+        s.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("us") - F.col("prev_us")).alias("total_gap_us"),
+        )
+    )

@@ -121,3 +121,26 @@ def test_nodes_of_keeps_closing_node_and_order(spark):
     assert [r["node_id"] for r in got] == [100, 101, 102, 100]
     assert all(r["way_typed_id"] == 7 * 4 + 1 for r in got)
     assert got[3]["lon100nd"] == 0  # closing row repeats node 100's coords
+
+
+def test_transitions_pairs_and_gaps(spark):
+    # u1 timeline: view(0) -> click(1) -> click(3) -> purchase(7);
+    # u2: error(0) -> view(10).  No cross-user pairs.
+    ev = _events(spark, [
+        (1, 0, "view"), (1, 1, "click"), (1, 3, "click"), (1, 7, "purchase"),
+        (2, 0, "error"), (2, 10, "view"),
+    ])
+    got = {(r["prev_type"], r["next_type"]): (r["n"], r["total_gap_us"])
+           for r in mldf.events_transitions(ev).collect()}
+    m = 60_000_000  # one minute in microseconds
+    assert got == {
+        ("view", "click"): (1, 1 * m),
+        ("click", "click"): (1, 2 * m),
+        ("click", "purchase"): (1, 4 * m),
+        ("error", "view"): (1, 10 * m),
+    }
+
+
+def test_transitions_single_event_users_emit_nothing(spark):
+    ev = _events(spark, [(1, 0, "view"), (2, 5, "click")])
+    assert mldf.events_transitions(ev).count() == 0
