@@ -109,6 +109,18 @@ def main() -> int:
         "f9_relation_wkt": (
             ["HashAggregate"], ["CartesianProduct", "BatchEvalPython"]),
         "p1_goql_units": ([], ["CartesianProduct", "BatchEvalPython"]),
+        # r05 event analytics: each is ONE user_id exchange (windows)
+        # feeding hash aggregates — never all-pairs, never Python rows
+        "events_funnel": (
+            ["Window"], ["CartesianProduct", "BatchEvalPython"]),
+        "events_retention": (
+            ["HashAggregate"], ["CartesianProduct", "BatchEvalPython"]),
+        "events_transitions": (
+            ["Window", "HashAggregate"],
+            ["CartesianProduct", "BatchEvalPython"]),
+        # int8-quantized ANN: the 4-row query side broadcasts (BNLJ by
+        # design, like ann_lsh_topk); re-rank joins are keyed
+        "ann_sq_topk": ([], ["BatchEvalPython"]),
     }
     lines = ["# Physical plans (generated by tools/plan_audit.py)", ""]
     failures = []
