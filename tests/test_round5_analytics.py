@@ -144,3 +144,20 @@ def test_transitions_pairs_and_gaps(spark):
 def test_transitions_single_event_users_emit_nothing(spark):
     ev = _events(spark, [(1, 0, "view"), (2, 5, "click")])
     assert mldf.events_transitions(ev).count() == 0
+
+
+def test_transitions_partition_invariant(spark):
+    # The transition matrix must not depend on how the input is split
+    # across tasks: the window repartitions on user_id internally, so
+    # an adversarial pre-partitioning (all rows shuffled into 7 parts
+    # by event_id) yields the identical matrix — the property that
+    # makes the operator safe behind any upstream exchange at scale.
+    rows = [(u, m, t)
+            for u in (1, 2, 3)
+            for m, t in ((0, "view"), (2, "click"), (5, "view"),
+                         (9, "purchase"), (14, "click"))]
+    ev = _events(spark, rows)
+    base = sorted(map(tuple, mldf.events_transitions(ev).collect()))
+    scrambled = sorted(map(tuple, mldf.events_transitions(
+        ev.repartition(7, "event_id")).collect()))
+    assert base == scrambled and len(base) == 4
