@@ -220,7 +220,17 @@ def relation_extents(
             print(f"[relext] {label}: {now - _t0:.1f}s", flush=True)
             _t0 = now
 
-    n_pending = supers.count()
+    # ONE control job yields both meters this function needs up front:
+    # the pending-super count (drives the driver-vs-distributed choice)
+    # and the total rel→rel edge count (the residue meter when the
+    # driver path is taken, where pending == supers and the old
+    # edges⋈pending recount equaled this total) — was two sequential
+    # jobs of fixed scheduler latency (guide §2.6).
+    _row = edges.agg(
+        F.count(F.lit(1)).alias("ne"),
+        F.countDistinct("rel_id").alias("ns"),
+    ).collect()[0]
+    n_edges_total, n_pending = int(_row["ne"]), int(_row["ns"])
     _tick("supers.count")
 
     out_cols = ["rel_id", "n_members", "n_resolved", *_EXT_COLS,
@@ -256,6 +266,7 @@ def relation_extents(
     # whose super-hierarchy IS big — the distributed passes keep the
     # rel→rel frame off the driver.
     j6_driver_max = int(_os.environ.get("SPARK_GRAFT_J6_DRIVER_MAX", "65536"))
+    _parents_hot = False  # True once a pre-collect materialized the chain
     _tick("setup")
 
     if n_pending:
@@ -288,9 +299,12 @@ def relation_extents(
         # blocked/ready anti-join chain cost ~3 jobs/level of fixed
         # driver latency, the dominant serial term in the 4N profile)
         empties = unresolved  # rel_ids that resolved to nothing so far
+        loop_ran = False
         for _ in range(MAX_RELATION_LEVELS):
             if n_pending == 0 or n_pending <= j6_driver_max:
                 break
+            loop_ran = True
+            _parents_hot = True  # the level pass reads through the chain
             done = resolved_all.select(
                 F.col("rel_id").alias("member_rel"),
                 F.lit(1).alias("m_done"),
@@ -368,10 +382,15 @@ def relation_extents(
             n_pending -= n_new
 
         if n_pending:
-            # residue meter + hard cap BEFORE any driver collect: one
-            # cheap count over the (persisted) edge frame bounds what
-            # the five toPandas() calls below will pull
-            n_res_edges = int(edges.join(pending, "rel_id").count())
+            # residue meter + hard cap BEFORE any driver collect bounds
+            # what the five toPandas() calls below will pull.  On the
+            # common driver path (level loop never ran) pending IS
+            # supers, so the edge total from the fused control job above
+            # already answers it — no extra count job.
+            if loop_ran:
+                n_res_edges = int(edges.join(pending, "rel_id").count())
+            else:
+                n_res_edges = n_edges_total
             if stats is not None:
                 stats["j6_pending_supers"] = int(n_pending)
                 stats["j6_residue_edges"] = n_res_edges
@@ -412,6 +431,7 @@ def relation_extents(
             # at sf0.1).  resolved_all's chain covers nonrel_agg,
             # simple_part and rm.
             resolved_all.count()
+            _parents_hot = True
             _tick("pre-collect")
             with ThreadPoolExecutor(5) as pool:
                 f_tags = pool.submit(
@@ -600,10 +620,25 @@ def relation_extents(
     # runs over already-cached parents (~1 s at sf0.1).  Same treatment
     # for unresolved (consumers like J7 exports re-planned its anti-join
     # chain on every use).
-    out_rel = rel_ext.localCheckpoint(eager=True)
-    _tick("ckpt-rel_ext")
-    out_unres = unresolved.localCheckpoint(eager=True)
-    _tick("ckpt-unresolved")
+    # the two eager checkpoints are independent jobs over already-cached
+    # parents — run them concurrently (latency = max, not sum; each is
+    # mostly fixed job latency at any scale, guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    if not _parents_hot:
+        # no residue pre-collect ran this call: materialize the shared
+        # persisted chain ONCE before the concurrent checkpoints (the
+        # cache does not serialize racing first-computations — both
+        # jobs would recompute the heavy member join otherwise)
+        simple_part.count()
+        _tick("pre-ckpt")
+    with _TPE(2) as _pool:
+        f_rel = _pool.submit(lambda: rel_ext.localCheckpoint(eager=True))
+        f_unres = _pool.submit(
+            lambda: unresolved.localCheckpoint(eager=True))
+        out_rel = f_rel.result()
+        out_unres = f_unres.result()
+    _tick("ckpt-rel_ext+unresolved")
     return out_rel, out_unres
 
 
@@ -764,6 +799,12 @@ def assign_features(
     # node-sized frame, then paid a distinct shuffle — a second full
     # pass over the member set that a 100 TB build feels.
     wext = way_extents(feats["ways"], assigned, member_tiles=True).persist()
+    # ONE job materializes the two shared heavy parents (assigned feeds
+    # the join inside wext) BEFORE fanning out: the relation chain and
+    # the way-home lookup both read them, and the cache does not
+    # serialize racing first-computations (each racer would redo the
+    # J1 lookup + J2 member join)
+    wext.count()
     way_homes = home_tiles(wext, catalog).persist()
 
     # J4 ghosts: member-node tiles minus the home tiles — narrow explode
@@ -777,25 +818,28 @@ def assign_features(
         )
     )
 
-    # relation_extents returns a lazily localCheckpointed frame — its
-    # blocks ARE the cache; a persist() on top would store a second copy
+    # relation_extents (J5/J6: joins + driver residue, many small jobs)
+    # and the way-home staging count (one pandas-lookup job) touch
+    # DISJOINT uncached frontiers now that wext/assigned are hot — run
+    # them as concurrent driver threads so the relation chain's serial
+    # control latency overlaps the way-home compute (guide §2.6;
+    # previously sequential: relext ≈4.6 s + way_homes ≈1.2 s warm at
+    # sf0.1; overlapped ≈ max of the two).  way_homes must be hot
+    # before callers checkpoint the outputs concurrently (it is shared
+    # by feature_tiles and way_ghosts).
+    from concurrent.futures import ThreadPoolExecutor
+
     j6_stats: dict = {}
-    rel_ext, unresolved = relation_extents(
-        feats["relations"], points, wext, stats=j6_stats
-    )
+    with ThreadPoolExecutor(2) as pool:
+        f_rel = pool.submit(
+            relation_extents, feats["relations"], points, wext, j6_stats
+        )
+        f_wh = pool.submit(way_homes.count)
+        rel_ext, unresolved = f_rel.result()
+        f_wh.result()
     rel_homes = home_tiles(rel_ext, catalog).join(
         rel_ext.select("typed_id", "level"), "typed_id"
     )
-    # way_homes is the last lazily-persisted frame shared by two of the
-    # returned outputs (feature_tiles and way_ghosts); materialize it
-    # here so callers checkpointing the outputs concurrently scan the
-    # cache instead of racing first-computations through the
-    # survivor-lookup UDF stage.  Only THIS frame is staged: also
-    # pre-counting its parents (assigned/wext) serializes work the
-    # scheduler overlaps fine on its own (A/B at sf0.1 local[32]:
-    # cold assign 14.1 s staged-way_homes-only, reproducible, vs
-    # 15.0-18.3 s unstaged and 16.9-27.0 s all-three-staged)
-    way_homes.count()
 
     feature_tiles = (
         node_tiles.select("typed_id", "tile_id", "is_ghost", "twin")

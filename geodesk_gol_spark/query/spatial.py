@@ -1033,14 +1033,17 @@ def knn_cell_rings(
     >= the query's margin (distance to the nearest block edge), so a
     query's ring result is final iff it found k candidates AND its k-th
     distance is STRICTLY below margin² (boundary ties could lose to an
-    unseen point with a smaller id under the brute tiebreak).  Unresolved queries ESCALATE to an 8×-coarser
-    grid (same ring, cell edge ×8 per pass): the certified block — and
-    with it the margin — grows 8× per pass, while the candidate count
-    grows only with the query's LOCAL density, which is exactly what is
-    small around a query that failed the finer pass.  (Ring-doubling at
-    fixed bits was measured to certify ZERO extra queries at sf0.1: the
-    escapees sit in a 1e6-unit-spaced sparse band whose 5th neighbor is
-    ~dozens of base cells away — margin ×2 per pass never catches up.)
+    unseen point with a smaller id under the brute tiebreak).  Unresolved queries ESCALATE to a 64×-coarser
+    grid (same ring, cell edge ×64 per pass, capped at 2^29 so margin²
+    stays in int64): the certified block — and with it the margin —
+    grows 64× per pass, while the candidate count grows only with the
+    query's LOCAL density, which is exactly what is small around a
+    query that failed the finer pass.  (Ring-doubling at fixed bits was
+    measured to certify ZERO extra queries at sf0.1, and so was one 8×
+    coarsening — the escapees sit in a 1e6-unit-spaced sparse band
+    whose 5th neighbor is ~dozens of base cells away; 64× per pass
+    reaches them in one escalation instead of paying a certify-nobody
+    intermediate pass of pure fixed latency.)
     Only queries still open after ``escalations`` coarsenings take the
     brute-force path, and that set is tiny by construction.
 
@@ -1072,11 +1075,22 @@ def knn_cell_rings(
 
 def _knn_ring_passes(base, points, remaining, parts, topks, k, ring,
                      cell_bits, escalations) -> DataFrame:
+    prev_shift = None
     for i in range(escalations + 1):
-        # coarsen 8× per pass: arithmetic shift of the persisted base
+        # coarsen 64× per pass: arithmetic shift of the persisted base
         # cells == floor division (holds for negatives), so every pass
-        # is a narrow projection over ONE cached point scan
-        shift = 3 * i
+        # is a narrow projection over ONE cached point scan.  64× (not
+        # 8×) because escapees sit in SPARSE regions by construction —
+        # their kth neighbor is many base cells away, and the measured
+        # 8× step certified ZERO extra queries at sf0.1 (106 → 106 → 0:
+        # the middle pass was pure fixed-latency waste).  The shift is
+        # capped so the cell edge stays ≤ 2^29: margin ≤ 3·2^29, so
+        # margin² ≤ 2.6e18 < 2^63 — no ANSI overflow even for
+        # caller-chosen cell_bits near the world size.
+        shift = min(6 * i, max(0, 29 - cell_bits))
+        if shift == prev_shift:
+            break  # grid cannot coarsen further — residue goes brute
+        prev_shift = shift
         pts = base if shift == 0 else base.withColumn(
             "cc", F.shiftright("cc", shift)
         ).withColumn("cr", F.shiftright("cr", shift))
