@@ -55,14 +55,20 @@ def capped_shingles(docs: DataFrame, k: int = 3, cap: int = 50) -> DataFrame:
 
     The cap bounds candidate-pair fan-out at any corpus size: a shingle
     shared by d docs creates O(d²) bucket pairs, so boilerplate shingles
-    (license headers, navigation chrome) would otherwise dominate."""
+    (license headers, navigation chrome) would otherwise dominate.
+
+    The document-frequency filter is a count window over ``sh`` (one
+    exchange of the shingle table) rather than groupBy + join-back
+    (which exchanges it twice: once into the aggregate, once as the
+    join probe).  Per-key state is one counter, so a hot shingle skews
+    a window partition no worse than it would skew the join."""
     sh = doc_shingles(docs, k)
-    common = (
-        sh.groupBy("sh").count()
-        .filter(F.col("count") <= cap)
-        .select("sh")
+    w = Window.partitionBy("sh")
+    return (
+        sh.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= cap)
+        .select("doc_id", "sh")
     )
-    return sh.join(common, "sh").select("doc_id", "sh")
 
 
 def _h48(col) -> F.Column:
@@ -81,10 +87,13 @@ def _signatures(sh2: DataFrame, n_hash: int) -> DataFrame:
 
 
 def _band_keys(sigs: DataFrame, n_hash: int, extra: list[str]) -> DataFrame:
-    """(doc_id, *extra, band, key): 2-slot band buckets (LSH join key)."""
-    parts = [
-        sigs.select(
-            "doc_id", *extra,
+    """(doc_id, *extra, band, key): 2-slot band buckets (LSH join key).
+
+    One in-row explode (a narrow Generate) instead of an n_hash/2-way
+    union of selects over the same aggregate — the union shape planned
+    the signature aggregation subtree once per band."""
+    pairs = F.array(*[
+        F.struct(
             F.lit(b).alias("band"),
             F.concat_ws(
                 "_",
@@ -93,8 +102,11 @@ def _band_keys(sigs: DataFrame, n_hash: int, extra: list[str]) -> DataFrame:
             ).alias("key"),
         )
         for b in range(n_hash // 2)
-    ]
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    ])
+    return sigs.select(
+        "doc_id", *extra, F.explode(pairs).alias("_bk")
+    ).select("doc_id", *extra, F.col("_bk.band").alias("band"),
+             F.col("_bk.key").alias("key"))
 
 
 def _verify_pairs(cand: DataFrame, sh2: DataFrame,
