@@ -88,6 +88,57 @@ def survivor_lookup_udf(spark: SparkSession, tiles_pd) -> "callable":
     return lookup
 
 
+def survivor_lookup2_udf(spark: SparkSession, tiles_pd) -> "callable":
+    """Both TilePair corner lookups in ONE vectorized pandas UDF.
+
+    (c0, r0, c1, r1, zstar) -> array<int> [t0, t1].  Functionally two
+    :func:`survivor_lookup_udf` calls, fused so the plan carries one
+    ArrowEvalPython stage instead of two (one Python round trip over
+    the frame, half the Arrow serialization; J3 calls this on every
+    way and relation extent)."""
+    import hashlib
+
+    ids = np.sort(tiles_pd["tile_id"].to_numpy().astype(np.int64))
+    key = (spark.sparkContext.applicationId,
+           hashlib.sha1(ids.tobytes()).hexdigest())
+    bids = _BCAST_CACHE.get(key)
+    if bids is None:
+        for k in [k for k in _BCAST_CACHE if k[0] != key[0]]:
+            del _BCAST_CACHE[k]
+        same_app = [k for k in _BCAST_CACHE if k[0] == key[0]]
+        for k in same_app[:-7]:
+            del _BCAST_CACHE[k]
+        bids = spark.sparkContext.broadcast(ids)
+        _BCAST_CACHE[key] = bids
+
+    def _resolve(arr, c, r, zs):
+        out = np.zeros(len(c), np.int64)
+        todo = np.ones(len(c), bool)
+        n = len(arr)
+        for z in _LADDER:
+            shift = LEAF_ZOOM - z
+            cand = (z << 24) | ((r >> shift) << 12) | (c >> shift)
+            m = todo & (zs >= z)
+            if not m.any():
+                continue
+            pos = np.searchsorted(arr, cand)
+            hit = m & (arr[np.minimum(pos, n - 1)] == cand)
+            out[hit] = cand[hit]
+            todo &= ~hit
+        return out.astype(np.int32)
+
+    @F.pandas_udf("array<int>")
+    def lookup2(c0: pd.Series, r0: pd.Series, c1: pd.Series,
+                r1: pd.Series, zstar: pd.Series) -> pd.Series:
+        arr = bids.value
+        zs = zstar.to_numpy(np.int64)
+        t0 = _resolve(arr, c0.to_numpy(np.int64), r0.to_numpy(np.int64), zs)
+        t1 = _resolve(arr, c1.to_numpy(np.int64), r1.to_numpy(np.int64), zs)
+        return pd.Series(np.stack([t0, t1], axis=1).tolist())
+
+    return lookup2
+
+
 def assign_tiles(
     df: DataFrame,
     tiles_pd,

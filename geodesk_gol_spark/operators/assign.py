@@ -707,9 +707,9 @@ def home_tiles(ext: DataFrame, catalog: TileCatalog) -> DataFrame:
     pure-Python derivation pins both (oracle/slowpath.py,
     tests/test_slowpath_oracle.py).
     """
-    from ..functions.tile_lookup import survivor_lookup_udf
+    from ..functions.tile_lookup import survivor_lookup2_udf
 
-    lookup = survivor_lookup_udf(ext.sparkSession, catalog.tiles)
+    lookup2 = survivor_lookup2_udf(ext.sparkSession, catalog.tiles)
     e = ext.withColumn("zstar", _zstar_col())
     e = (
         e.withColumn("c0", _at_zstar_col("minc"))
@@ -717,21 +717,19 @@ def home_tiles(ext: DataFrame, catalog: TileCatalog) -> DataFrame:
         .withColumn("c1", _at_zstar_col("maxc"))
         .withColumn("r1", _at_zstar_col("maxr"))
     )
+    # both corners resolve in ONE fused pandas-UDF stage (one
+    # ArrowEvalPython in the plan, one Python round trip per batch)
     e = e.withColumn(
-        "t0",
-        lookup(
+        "t01",
+        lookup2(
             _corner_cell_col("c0").cast("int"),
             _corner_cell_col("r0").cast("int"),
-            F.col("zstar").cast("int"),
-        ),
-    ).withColumn(
-        "t1",
-        lookup(
             _corner_cell_col("c1").cast("int"),
             _corner_cell_col("r1").cast("int"),
             F.col("zstar").cast("int"),
         ),
-    )
+    ).withColumn("t0", F.col("t01").getItem(0)) \
+     .withColumn("t1", F.col("t01").getItem(1))
     same = ((F.col("c0") == F.col("c1")) & (F.col("r0") == F.col("r1"))) | (
         F.col("t0") == F.col("t1")
     )

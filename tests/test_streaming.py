@@ -333,7 +333,13 @@ def test_apply_changes_streaming_tile_scoped(spark, tmp_path):
 
     for i, sub in enumerate(("b0", "b1")):
         for f in sorted((tmp_path / sub).glob("*.parquet")):
-            shutil.copy(f, feed / f"part-{i:03d}.parquet")
+            dst = feed / f"part-{i:03d}.parquet"
+            shutil.copy(f, dst)
+            # the file source orders batches by modification time —
+            # identical mtimes (copy within one clock tick) would make
+            # the two-epoch order nondeterministic and the inode
+            # assertion below refer to the wrong epoch
+            os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
 
     stream = (
         spark.readStream.schema(schema)
