@@ -1918,34 +1918,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # sampled), then the oldest round-3-stamped rows, so every entry's
 # latest stamp becomes green and as fresh as the sample allows.
 _DRIVER_PRIORITY = [
-    # -- latest stamp is round 2 (12; first row's only stamp is a FAIL) --
-    "text_tokens_by_lang", "ann_cosine_topk", "ann_lsh_buckets",
-    "dedup_embed_cosine", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_simhash_pairs", "sample_stratified",
-    "text_fingerprint", "text_langid", "text_quality",
-    # -- new in round 5 (never sampled) --
-    "f9_geojson_ways", "f9_relation_multipolygon", "f9_xml_bodies",
-    "f9_csv_geom", "f9_relation_wkt", "s1_pbf_relations",
-    "s1_pbf_build_store", "p1_goql_units", "p_nodes_of",
-    "events_funnel", "events_retention", "events_transitions",
-    "ann_sq_topk",
-    # -- latest stamp is round 3 (oldest remaining; fills the 50) --
-    "s1_parse_nodes", "s2_span_sequence", "j1_node_tiles",
-    "j3_way_homes", "j4_way_ghosts", "j5_relation_homes",
-    "j6_relation_levels", "j7_exports", "j8_foreign_refs",
-    "j_exceptions", "a1_cell_counts", "a3_osm_stats", "a4_tile_pyramid",
-    "a5_top_tiles", "a6_way_bbox", "a7_count_formats",
-    "a9_duplicate_nodes", "a9_orphan_nodes", "f1_projection",
-    "f2_cell_ids", "f2_hex_cells", "f4_hilbert", "o4_tile_order",
-    "o9_check_corrupt", "o9_check_store", "o_dump_tiles",
-    "o_info_summary", "p1_goql_area_leisure", "p1_goql_area_natural",
-    "p1_goql_highway_names", "p1_goql_negation", "p1_goql_numeric",
-    "p1_goql_quoted_key", "p1_goql_union", "p1_goql_valuelist_regex",
-    "p2_bbox_query", "p3_area_wkt", "p3_polygon_query",
-    "p3_polygon_ways", "p3_polygon_within", "p4_key_projection",
-    "p_get_by_id", "p_members_of", "p_members_role", "p_parents_of",
-    "p_query_composed", "s5_archive_manifest", "s6_archive_load",
-    "u1_archive_merge", "u3_save_subset",
+    # -- latest stamp is round 4 (the 50 stalest; VERDICT r05 ask #5:
+    # lead round 6 with them so no entry ages past two rounds) --
+    "a2_string_freq", "a8_build_metrics", "a8_lineage_tiles",
+    "ann_ivf_assign", "ann_ivf_topk", "ann_kmeans_iter",
+    "ann_kmeans_lloyd", "ann_lsh_topk", "corpus_dedup_filtered",
+    "dedup_components", "dedup_exact", "dedup_incremental",
+    "events_sessionize", "f10_precision", "f11_template",
+    "f12_way_measures", "f7_area_ways", "f8_closed_rings",
+    "f9_geojson_cafes", "f_brief", "j11_contains_join",
+    "j12_relation_contains", "j13_dwithin_join", "j14_way_within",
+    "knn_brute", "knn_rings", "media_decode_stub", "media_frame_sample",
+    "media_resize_stub", "p3_polygon_crossing", "p_around_point",
+    "pack_sequences", "raster_vector_join", "raster_zonal_stats",
+    "s1_pbf_nodes", "s1_pbf_ways", "s8_change_merge", "s8_osc_roundtrip",
+    "s8_replication", "s9_map_roundtrip", "s_install_archive",
+    "sample_temperature", "streaming_dedup_incremental",
+    "streaming_window_agg", "text_chunks", "text_decontaminate",
+    "text_pii_scrub", "text_repetition", "text_tokens_bpe", "u_copy_tiles",
+    # -- latest stamp is round 3 (the remaining tail) --
+    "o_dump_tiles", "o_info_summary", "p1_goql_area_leisure",
+    "p1_goql_area_natural", "p1_goql_highway_names", "p1_goql_negation",
+    "p1_goql_numeric", "p1_goql_quoted_key", "p1_goql_union",
+    "p1_goql_valuelist_regex", "p2_bbox_query", "p3_area_wkt",
+    "p3_polygon_query", "p3_polygon_ways", "p3_polygon_within",
+    "p4_key_projection", "p_get_by_id", "p_members_of", "p_members_role",
+    "p_parents_of", "p_query_composed", "s5_archive_manifest",
+    "s6_archive_load", "u1_archive_merge", "u3_save_subset",
 ]
 
 

@@ -91,11 +91,14 @@ def survivor_lookup_udf(spark: SparkSession, tiles_pd) -> "callable":
 def survivor_lookup2_udf(spark: SparkSession, tiles_pd) -> "callable":
     """Both TilePair corner lookups in ONE vectorized pandas UDF.
 
-    (c0, r0, c1, r1, zstar) -> array<int> [t0, t1].  Functionally two
-    :func:`survivor_lookup_udf` calls, fused so the plan carries one
-    ArrowEvalPython stage instead of two (one Python round trip over
-    the frame, half the Arrow serialization; J3 calls this on every
-    way and relation extent)."""
+    (c0, r0, c1, r1, zstar) -> bigint (t0 << 32) | t1.  Functionally
+    two :func:`survivor_lookup_udf` calls, fused so the plan carries
+    one ArrowEvalPython stage instead of two (one Python round trip
+    over the frame, half the Arrow serialization; J3 calls this on
+    every way and relation extent).  The pair packs into one int64 —
+    tile ids are non-negative < 2^28 — so the column stays a primitive
+    Arrow array end to end (a list-typed return would build a Python
+    list object per row)."""
     import hashlib
 
     ids = np.sort(tiles_pd["tile_id"].to_numpy().astype(np.int64))
@@ -127,14 +130,14 @@ def survivor_lookup2_udf(spark: SparkSession, tiles_pd) -> "callable":
             todo &= ~hit
         return out.astype(np.int32)
 
-    @F.pandas_udf("array<int>")
+    @F.pandas_udf("long")
     def lookup2(c0: pd.Series, r0: pd.Series, c1: pd.Series,
                 r1: pd.Series, zstar: pd.Series) -> pd.Series:
         arr = bids.value
         zs = zstar.to_numpy(np.int64)
         t0 = _resolve(arr, c0.to_numpy(np.int64), r0.to_numpy(np.int64), zs)
         t1 = _resolve(arr, c1.to_numpy(np.int64), r1.to_numpy(np.int64), zs)
-        return pd.Series(np.stack([t0, t1], axis=1).tolist())
+        return pd.Series((t0.astype(np.int64) << 32) | t1.astype(np.int64))
 
     return lookup2
 

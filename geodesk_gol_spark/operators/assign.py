@@ -728,8 +728,8 @@ def home_tiles(ext: DataFrame, catalog: TileCatalog) -> DataFrame:
             _corner_cell_col("r1").cast("int"),
             F.col("zstar").cast("int"),
         ),
-    ).withColumn("t0", F.col("t01").getItem(0)) \
-     .withColumn("t1", F.col("t01").getItem(1))
+    ).withColumn("t0", F.shiftright("t01", 32).cast("int")) \
+     .withColumn("t1", F.col("t01").bitwiseAND(0xFFFFFFFF).cast("int"))
     same = ((F.col("c0") == F.col("c1")) & (F.col("r0") == F.col("r1"))) | (
         F.col("t0") == F.col("t1")
     )
