@@ -140,16 +140,13 @@ def synth_docs(
     li, orders = base["lineitem"], base["orders"]
     customer, nation, region = base["customer"], base["nation"], base["region"]
 
-    # three consumers below (node_spans, media_spans, way_nodes) would
-    # otherwise each recompute the dropDuplicates shuffle + payload
-    # expressions over lineitem — persist so the dedup runs once
     nodes = _node_payload_cols(li).withColumn(
         "tags",
         _tags_expr(
             "highway", "name", "amenity", "maxspeed",
             ("addr:street", "addr_street"),
         ),
-    ).persist()
+    )
 
     # --- order docs: text span + (media?, node)* + way span -----------------
     doc = F.concat(F.lit("doc-"), F.col("orderkey").cast("string"))
@@ -201,8 +198,6 @@ def synth_docs(
                 F.concat(F.col("node_ids"), F.slice(F.col("node_ids"), 1, 1)),
             ).otherwise(F.col("node_ids")),
         )
-        # reused by way_spans AND cust_rel_members — one groupBy, not two
-        .persist()
     )
     way_spans = way_nodes.selectExpr(
         "orderkey",
@@ -256,8 +251,6 @@ def synth_docs(
         )
         .withColumn("rel_id", F.col("c_custkey") + F.lit(sqlgen.CUST_REL_BASE))
         .withColumn("tags", _tags_expr("boundary", "name"))
-        # reused by cust_text, cust_rel_spans and nat_members
-        .persist()
     )
     cust_text = cust_rels.select(
         F.concat(F.lit("cust-"), F.col("c_custkey").cast("string")).alias("doc_id"),
