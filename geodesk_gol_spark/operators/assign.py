@@ -691,8 +691,16 @@ def _corner_cell_col(colz: str, zstar: str = "zstar"):
     return expr
 
 
-def home_tiles(ext: DataFrame, catalog: TileCatalog) -> DataFrame:
+def home_tiles(
+    ext: DataFrame, catalog: TileCatalog, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Extent → home tile rows (typed_id, tile_id, twin, zstar). J3.
+
+    ``carry`` names extra ``ext`` columns to pass through unchanged
+    (e.g. the relation ``level``) — cheaper than the join-back the
+    caller would otherwise pay to reattach them (that join planned as a
+    sort-merge with an exchange+sort per side, and re-evaluated the
+    corner-lookup subtree a second time).
 
     z* and both TilePair corner candidates are computed in-row; each
     corner resolves to its deepest surviving ancestor-or-self tile via
@@ -743,9 +751,9 @@ def home_tiles(ext: DataFrame, catalog: TileCatalog) -> DataFrame:
         )
     )
     return (
-        e.select("typed_id", "zstar", F.explode(pairs).alias("p"))
+        e.select("typed_id", "zstar", *carry, F.explode(pairs).alias("p"))
         .select("typed_id", F.col("p.tile_id").alias("tile_id"),
-                F.col("p.twin").alias("twin"), "zstar")
+                F.col("p.twin").alias("twin"), "zstar", *carry)
     )
 
 
@@ -835,9 +843,7 @@ def assign_features(
         f_wh = pool.submit(way_homes.count)
         rel_ext, unresolved = f_rel.result()
         f_wh.result()
-    rel_homes = home_tiles(rel_ext, catalog).join(
-        rel_ext.select("typed_id", "level"), "typed_id"
-    )
+    rel_homes = home_tiles(rel_ext, catalog, carry=("level",))
 
     feature_tiles = (
         node_tiles.select("typed_id", "tile_id", "is_ghost", "twin")
