@@ -110,6 +110,7 @@ def relation_extents(
     points: DataFrame,
     wext: DataFrame,
     stats: dict | None = None,
+    ready=None,
 ):
     """J5/J6: resolve member extents bottom-up by level.
 
@@ -140,6 +141,14 @@ def relation_extents(
     small on real OSM), but a pathological corpus could balloon it, so
     the edge count is ALSO hard-capped: > SPARK_GRAFT_J6_RESIDUE_CAP
     (default 5M rows) raises instead of silently OOMing the driver.
+
+    ``ready`` (optional ``threading.Event``) gates the first action that
+    reaches through ``wext``/``points``: everything up to and including
+    the edge-meter control job depends only on ``relations`` (rm/edges),
+    so a caller still materializing the heavy way-extent parents can run
+    this function concurrently and set the event when they are hot —
+    the control job's latency then overlaps the parent materialization
+    instead of following it (guide §2.6).
     """
     if stats is not None:
         stats.setdefault("j6_pending_supers", 0)
@@ -232,6 +241,12 @@ def relation_extents(
     ).collect()[0]
     n_edges_total, n_pending = int(_row["ne"]), int(_row["ns"])
     _tick("supers.count")
+    if ready is not None:
+        # every action from here on can reach the wext/points parents —
+        # wait until the caller reports them materialized (racing their
+        # first computation would duplicate the heavy member join)
+        ready.wait()
+        _tick("ready-wait")
 
     out_cols = ["rel_id", "n_members", "n_resolved", *_EXT_COLS,
                 "level", "refcycle"]
@@ -805,13 +820,38 @@ def assign_features(
     # node-sized frame, then paid a distinct shuffle — a second full
     # pass over the member set that a 100 TB build feels.
     wext = way_extents(feats["ways"], assigned, member_tiles=True).persist()
-    # ONE job materializes the two shared heavy parents (assigned feeds
-    # the join inside wext) BEFORE fanning out: the relation chain and
-    # the way-home lookup both read them, and the cache does not
-    # serialize racing first-computations (each racer would redo the
-    # J1 lookup + J2 member join)
-    wext.count()
-    way_homes = home_tiles(wext, catalog).persist()
+
+    # Concurrency shape (guide §2.6): the relation chain's FIRST control
+    # job (rm explode + edge meter) depends only on `relations`, so it
+    # launches immediately and overlaps the heavy wext materialization
+    # running on this thread; a threading.Event gates the chain's first
+    # wext-dependent action (the cache does not serialize racing first
+    # computations — each racer would redo the J1 lookup + J2 member
+    # join, so wext/assigned must be hot before the event is set).  The
+    # way-home staging count then overlaps the rest of the relation
+    # chain as before.  way_homes must be hot before callers checkpoint
+    # the outputs concurrently (it is shared by feature_tiles and
+    # way_ghosts).
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    j6_stats: dict = {}
+    parents_hot = threading.Event()
+    with ThreadPoolExecutor(2) as pool:
+        f_rel = pool.submit(
+            relation_extents, feats["relations"], points, wext, j6_stats,
+            parents_hot,
+        )
+        # ONE job materializes the two shared heavy parents (assigned
+        # feeds the join inside wext) BEFORE the chain reads them
+        try:
+            wext.count()
+            way_homes = home_tiles(wext, catalog).persist()
+        finally:
+            parents_hot.set()  # never leave the chain thread waiting
+        f_wh = pool.submit(way_homes.count)
+        rel_ext, unresolved = f_rel.result()
+        f_wh.result()
 
     # J4 ghosts: member-node tiles minus the home tiles — narrow explode
     # over the (small, cached) per-way aggregate
@@ -823,26 +863,6 @@ def assign_features(
             "left_anti",
         )
     )
-
-    # relation_extents (J5/J6: joins + driver residue, many small jobs)
-    # and the way-home staging count (one pandas-lookup job) touch
-    # DISJOINT uncached frontiers now that wext/assigned are hot — run
-    # them as concurrent driver threads so the relation chain's serial
-    # control latency overlaps the way-home compute (guide §2.6;
-    # previously sequential: relext ≈4.6 s + way_homes ≈1.2 s warm at
-    # sf0.1; overlapped ≈ max of the two).  way_homes must be hot
-    # before callers checkpoint the outputs concurrently (it is shared
-    # by feature_tiles and way_ghosts).
-    from concurrent.futures import ThreadPoolExecutor
-
-    j6_stats: dict = {}
-    with ThreadPoolExecutor(2) as pool:
-        f_rel = pool.submit(
-            relation_extents, feats["relations"], points, wext, j6_stats
-        )
-        f_wh = pool.submit(way_homes.count)
-        rel_ext, unresolved = f_rel.result()
-        f_wh.result()
     rel_homes = home_tiles(rel_ext, catalog, carry=("level",))
 
     feature_tiles = (
